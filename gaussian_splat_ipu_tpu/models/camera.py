@@ -1,0 +1,83 @@
+"""Camera state passed to the renderer each frame.
+
+The reference streams three small tensors to the device per frame — the
+model-view matrix, the projection matrix and (fov, scale) focal params
+(src/splat/ipu_rasteriser.cpp:86-110, 265-278) — then Copy-broadcasts them to
+all 1440 tiles. On TPU a Camera is a tiny pytree of (4,4) matrices; under
+jit it is replicated across the mesh by a NamedSharding with no explicit
+broadcast program.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussian_splat_ipu_tpu.ops import transforms
+
+
+@jax.tree_util.register_pytree_node_class
+class Camera:
+    """View + projection for one frame. A pytree; static shape."""
+
+    def __init__(self, view: jnp.ndarray, proj: jnp.ndarray):
+        self.view = view
+        self.proj = proj
+
+    def tree_flatten(self):
+        return ((self.view, self.proj), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    # ---------------------------------------------------------------------
+    @property
+    def view_proj(self) -> jnp.ndarray:
+        return jnp.dot(self.proj, self.view,
+                       preferred_element_type=jnp.float32)
+
+    def focals(self, width: int, height: int):
+        """Pixel focal lengths and fov tangents, derived from proj.
+
+        proj[0,0] = 2*near/(r-l) scales NDC; pixel focal = proj[0,0]*W/2.
+        tan(half fov) = 1/proj[0,0] (symmetric frustum).
+        """
+        fx = self.proj[0, 0] * (width * 0.5)
+        fy = self.proj[1, 1] * (height * 0.5)
+        tan_fovx = 1.0 / self.proj[0, 0]
+        tan_fovy = 1.0 / self.proj[1, 1]
+        return fx, fy, tan_fovx, tan_fovy
+
+    @property
+    def cam_origin(self) -> jnp.ndarray:
+        """Camera position in world space (for SH view directions)."""
+        r = self.view[:3, :3]
+        t = self.view[:3, 3]
+        return -jnp.dot(r.T, t, preferred_element_type=jnp.float32)
+
+    # -- constructors -------------------------------------------------------
+    @classmethod
+    def orbit(cls, bb_min, bb_max, fov_radians: float, aspect: float,
+              rot_x_deg=0.0, rot_y_deg=0.0, translation=(0.0, 0.0, 0.0),
+              up=(0.0, 1.0, 1.0)) -> "Camera":
+        """Orbit camera around a scene bounding box.
+
+        Parity with the reference interactive loop's view synthesis
+        (src/main/splat.cpp:186-195, 312-314): lookAtBoundingBox then
+        rotate about x and y, then translate.
+        """
+        view = transforms.look_at_bounding_box(bb_min, bb_max, up)
+        view = jnp.dot(view, transforms.rotate_x(np.radians(rot_x_deg)))
+        view = jnp.dot(view, transforms.rotate_y(np.radians(rot_y_deg)))
+        view = jnp.dot(view, transforms.translate(translation))
+        # Project the world bb into eye space for frustum fitting, as the
+        # reference does (src/main/splat.cpp:188-195).
+        base = transforms.look_at_bounding_box(bb_min, bb_max, up)
+        corners = jnp.stack([jnp.asarray(bb_min, jnp.float32),
+                             jnp.asarray(bb_max, jnp.float32)])
+        eye = transforms.transform_points(base, corners)[:, :3]
+        proj = transforms.fit_frustum_to_bounding_box(eye[0], eye[1],
+                                                      fov_radians, aspect)
+        return cls(view.astype(jnp.float32), proj.astype(jnp.float32))

@@ -1,0 +1,132 @@
+"""Gaussian scene model: the trainable parameter pytree.
+
+TPU-native rebuild of the reference Gaussian3D record
+(include/splat/ipu_geometry.hpp:305-323): where the reference packs each
+gaussian into a 64-float byte-strided record pinned in tile SRAM
+(src/splat/ipu_rasteriser.cpp:49-83), we keep a structure-of-arrays pytree —
+the layout XLA and the MXU/VPU want — sharded over devices with
+jax.sharding when the scene exceeds one chip.
+
+Parameters follow standard 3DGS conventions:
+  means       (N, 3) world-space centres
+  log_scales  (N, 3) log of per-axis scale (exp'd in covariance_3d)
+  quats       (N, 4) rotations (w, x, y, z)
+  opacities   (N,)   raw opacity; sigmoid applied at render time when
+                     RasterConfig.sigmoid_opacity (the reference feeds the
+                     PLY logit straight through, src/main/splat.cpp:149)
+  sh          (N, K, 3) SH coefficients, K=(degree+1)^2; sh[:, 0] is f_dc.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_pytree_node_class
+class GaussianModel:
+    """Structure-of-arrays gaussian scene parameters (a JAX pytree)."""
+
+    def __init__(self, means, log_scales, quats, opacities, sh):
+        self.means = means
+        self.log_scales = log_scales
+        self.quats = quats
+        self.opacities = opacities
+        self.sh = sh
+
+    # -- pytree protocol --------------------------------------------------
+    def tree_flatten(self):
+        return ((self.means, self.log_scales, self.quats, self.opacities,
+                 self.sh), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    # ----------------------------------------------------------------------
+    @property
+    def num_gaussians(self) -> int:
+        return self.means.shape[0]
+
+    @property
+    def sh_degree(self) -> int:
+        return int(np.sqrt(self.sh.shape[1])) - 1
+
+    def astype(self, dtype) -> "GaussianModel":
+        return jax.tree.map(lambda x: x.astype(dtype), self)
+
+    def pad_to(self, n: int) -> "GaussianModel":
+        """Zero-pad to n gaussians (padding has opacity -inf -> invisible)."""
+        cur = self.num_gaussians
+        if cur == n:
+            return self
+        assert n > cur, (n, cur)
+        pad = n - cur
+
+        def _pad(x, fill=0.0):
+            widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, widths, constant_values=fill)
+
+        return GaussianModel(
+            means=_pad(self.means),
+            log_scales=_pad(self.log_scales, -30.0),
+            quats=jnp.concatenate(
+                [self.quats,
+                 jnp.tile(jnp.array([[1., 0., 0., 0.]], self.quats.dtype),
+                          (pad, 1))]),
+            opacities=_pad(self.opacities, -30.0),
+            sh=_pad(self.sh),
+        )
+
+    @classmethod
+    def create(cls, means, log_scales, quats, opacities, f_dc,
+               f_rest: Optional[np.ndarray] = None,
+               sh_degree: int = 0) -> "GaussianModel":
+        """Assemble from raw arrays (e.g. parsed PLY fields).
+
+        f_dc: (N, 3); f_rest: (N, K-1, 3) higher-order coefficients or None.
+        """
+        n = means.shape[0]
+        k = (sh_degree + 1) ** 2
+        sh = np.zeros((n, k, 3), np.float32)
+        sh[:, 0] = f_dc
+        if f_rest is not None and k > 1:
+            sh[:, 1:] = f_rest[:, :k - 1]
+        return cls(
+            means=jnp.asarray(means, jnp.float32),
+            log_scales=jnp.asarray(log_scales, jnp.float32),
+            quats=jnp.asarray(quats, jnp.float32),
+            opacities=jnp.asarray(opacities, jnp.float32),
+            sh=jnp.asarray(sh, jnp.float32),
+        )
+
+    @classmethod
+    def random(cls, key, n: int, sh_degree: int = 0,
+               extent: float = 1.0) -> "GaussianModel":
+        """Random synthetic scene (benchmarks / tests)."""
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        kk = (sh_degree + 1) ** 2
+        return cls(
+            means=jax.random.uniform(k1, (n, 3), jnp.float32, -extent,
+                                     extent),
+            log_scales=jax.random.uniform(k2, (n, 3), jnp.float32, -5.5,
+                                          -3.5) + jnp.log(extent),
+            quats=jax.random.normal(k3, (n, 4), jnp.float32),
+            opacities=jax.random.uniform(k4, (n,), jnp.float32, -2.0, 4.0),
+            sh=jax.random.uniform(k5, (n, kk, 3), jnp.float32, -1.0, 1.0),
+        )
+
+
+def center_and_flip(points: np.ndarray) -> np.ndarray:
+    """Centre the cloud on its centroid and negate z.
+
+    Parity with the reference preprocessing (src/main/splat.cpp:92-100).
+    """
+    pts = np.asarray(points, np.float32)
+    bb_min, bb_max = pts.min(0), pts.max(0)
+    pts = pts - (bb_min + bb_max) * 0.5
+    pts[:, 2] = -pts[:, 2]
+    return pts

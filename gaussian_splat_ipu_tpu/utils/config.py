@@ -1,0 +1,108 @@
+"""Framework configuration.
+
+The reference hard-codes image/tile geometry as compile-time #defines
+(reference: include/tileMapping/tile_config.hpp:5-15) and exposes runtime
+behaviour through a RuntimeConfig struct (include/ipu/ipu_utils.hpp:174-183).
+Here both become proper dataclass configs: geometry is a runtime parameter of
+the pipeline (static under jit via hashable dataclasses), and all capacities
+that the reference fixes in silicon (framebuffer tiling, exchange-channel
+sizes) become tunable fields.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+# Reference workload constants (tile_config.hpp:5-15): 1280x720 image split
+# into 40x36 = 1440 tiles of 32x20 px. On TPU the tile must be VPU/lane
+# friendly: the flattened pixel count should be a multiple of 8*128=1024 so a
+# framebuffer tile maps exactly onto VPU registers. Default 32x32 = 1024 px.
+DEFAULT_IMAGE_WIDTH = 1280
+DEFAULT_IMAGE_HEIGHT = 720
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterConfig:
+    """Static configuration of the tiled rasterizer.
+
+    Frozen + hashable so it can be a static argument under jax.jit.
+    """
+
+    image_width: int = DEFAULT_IMAGE_WIDTH
+    image_height: int = DEFAULT_IMAGE_HEIGHT
+    # TPU-native tile: 32x32 px = 1024 px = 8 full VPU sublane groups.
+    # (The reference's 32x20 IPU tile would waste 84% of the 128-wide lanes.)
+    tile_width: int = 32
+    tile_height: int = 32
+    # Gaussians are streamed through the rasterizer in chunks of this many;
+    # the front-to-back compositing over a chunk is evaluated with a
+    # triangular-matrix cumsum on the MXU, so this should be an MXU-friendly
+    # contraction size.
+    chunk_size: int = 128
+    # Capacity of the (gaussian, tile) pair table. The reference bounds the
+    # analogous resource with fixed 300-slot exchange channels and a
+    # keep-local overflow policy (src/splat/ipu_rasteriser.cpp:307-309,
+    # codelets.cpp:487-490); we bound the pair table and drop+count overflow.
+    pair_capacity: int = 1 << 19
+    # Max tiles a single gaussian may cover per axis (guard band). The
+    # reference caps footprints at clipSize=15 tile diagonals
+    # (codelets/splat/codelets.cpp:622,470).
+    max_tiles_per_axis: int = 16
+    # Max chunks any one tile will composite (bounds the per-tile scan).
+    max_chunks_per_tile: int = 64
+    # Early termination threshold on transmittance, reference
+    # codelets.cpp:405-408.
+    transmittance_eps: float = 1e-4
+    # Alpha handling, reference codelets.cpp:400-403.
+    alpha_clamp: float = 0.99
+    alpha_min: float = 1.0 / 255.0
+    # EWA low-pass filter added to the 2D covariance diagonal, reference
+    # include/splat/ipu_geometry.hpp:377-378.
+    lowpass: float = 0.3
+    # Background color composited behind the splats.
+    background: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # Apply sigmoid to raw opacity (standard 3DGS). The reference feeds the
+    # PLY logit straight through (src/main/splat.cpp:149); set False for
+    # bug-for-bug parity experiments.
+    sigmoid_opacity: bool = True
+
+    @property
+    def tiles_x(self) -> int:
+        return -(-self.image_width // self.tile_width)
+
+    @property
+    def tiles_y(self) -> int:
+        return -(-self.image_height // self.tile_height)
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tiles_x * self.tiles_y
+
+    @property
+    def padded_width(self) -> int:
+        return self.tiles_x * self.tile_width
+
+    @property
+    def padded_height(self) -> int:
+        return self.tiles_y * self.tile_height
+
+    @property
+    def pixels_per_tile(self) -> int:
+        return self.tile_width * self.tile_height
+
+
+@dataclasses.dataclass(frozen=True)
+class RuntimeConfig:
+    """Runtime behaviour knobs, the analogue of the reference RuntimeConfig
+    (include/ipu/ipu_utils.hpp:174-183). numIpus/numReplicas become the
+    device mesh shape; saveExe/loadExe become the persistent XLA compilation
+    cache; useIpuModel becomes the CPU-interpret path.
+    """
+
+    num_devices: int = 1
+    exe_name: str = "tpu_splatter"
+    use_cpu_model: bool = False  # analogue of useIpuModel
+    compile_cache_dir: str = ""  # analogue of saveExe/loadExe
+    compile_only: bool = False
+    donate_buffers: bool = True
