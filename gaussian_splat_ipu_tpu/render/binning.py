@@ -1,0 +1,139 @@
+"""Gaussian -> tile binning: the TPU-native replacement for the exchange
+lattice.
+
+The reference migrates gaussians between neighbouring IPU tiles one hop per
+frame over fixed 300-slot channels with greedy Manhattan routing and a beam
+protocol for multi-tile footprints (src/splat/edge_builder.cpp:35-84,
+codelets/splat/codelets.cpp:194-293,554-572) — the image only converges
+over several frames. On TPU we bin exactly, every frame:
+
+  1. per-gaussian tile-coverage rectangle from the 3-sigma radius
+     (the Bounds2f::clip / direction logic of ipu_geometry.hpp:133-155
+     becomes a clamped tile-range computation),
+  2. expand to (gaussian, tile) pairs into a fixed-capacity table
+     (static shapes; overflow is dropped and counted, the analogue of the
+     reference's bounded channels + keep-local fallback,
+     codelets.cpp:487-490),
+  3. lexicographic sort by (tile, depth) — the packed sort-key idea of the
+     reference's unused CullGaussians vertex (codelets.cpp:104-113),
+  4. CSR-style per-tile [start, end) ranges via searchsorted.
+
+Everything is static-shaped and jit-compatible; the sort runs on-device.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gaussian_splat_ipu_tpu.render.projection import ProjectedSplats
+from gaussian_splat_ipu_tpu.utils.config import RasterConfig
+
+# Rows of the packed pair-feature table handed to the rasterizer.
+# Padded to 16 rows (two f32 sublane tiles) so chunk DMAs stay aligned.
+FEAT_X = 0
+FEAT_Y = 1
+FEAT_CONIC_A = 2
+FEAT_CONIC_B = 3
+FEAT_CONIC_C = 4
+FEAT_R = 5
+FEAT_G = 6
+FEAT_B = 7
+FEAT_OPACITY = 8
+FEAT_DEPTH = 9
+NUM_FEATURES = 16
+
+
+class BinnedSplats(NamedTuple):
+    """Sorted (gaussian, tile) pair table + per-tile ranges."""
+
+    features: jnp.ndarray    # (NUM_FEATURES, P) f32, sorted by (tile, depth)
+    pair_gid: jnp.ndarray    # (P,) i32 gaussian index per pair (N for pad)
+    tile_starts: jnp.ndarray  # (T,) i32
+    tile_ends: jnp.ndarray   # (T,) i32
+    num_pairs: jnp.ndarray   # () i32 valid pairs (pre-truncation demand)
+    overflow: jnp.ndarray    # () i32 pairs dropped due to capacity
+
+
+def tile_ranges_of(splats: ProjectedSplats, cfg: RasterConfig):
+    """Clamped tile-rectangle [x0, y0] + [nx, ny] per gaussian."""
+    ntx, nty = cfg.tiles_x, cfg.tiles_y
+    r = splats.radius
+    visible = r > 0.0
+    x, y = splats.xy[:, 0], splats.xy[:, 1]
+
+    def span(c, r, tile_sz, ntiles):
+        lo = jnp.clip(jnp.floor((c - r) / tile_sz), 0, ntiles - 1)
+        hi = jnp.clip(jnp.floor((c + r) / tile_sz), 0, ntiles - 1)
+        lo = lo.astype(jnp.int32)
+        n = hi.astype(jnp.int32) - lo + 1
+        # Footprint guard band (reference clipSize, codelets.cpp:622,470).
+        return lo, jnp.clip(n, 0, cfg.max_tiles_per_axis)
+
+    x0, nx = span(x, r, cfg.tile_width, ntx)
+    y0, ny = span(y, r, cfg.tile_height, nty)
+    nx = jnp.where(visible, nx, 0)
+    ny = jnp.where(visible, ny, 0)
+    return x0, y0, nx, ny
+
+
+def bin_splats(splats: ProjectedSplats, cfg: RasterConfig) -> BinnedSplats:
+    n = splats.xy.shape[0]
+    p = cfg.pair_capacity
+    ntx = cfg.tiles_x
+    num_tiles = cfg.num_tiles
+
+    x0, y0, nx, ny = tile_ranges_of(splats, cfg)
+    ncov = (nx * ny).astype(jnp.int32)
+    offsets = jnp.cumsum(ncov) - ncov          # exclusive
+    total = offsets[-1] + ncov[-1] if n else jnp.int32(0)
+
+    # Expand to pairs. A sentinel gaussian with huge coverage guarantees
+    # jnp.repeat fills the tail of the fixed-capacity table with pad pairs.
+    ncov_ext = jnp.concatenate([ncov, jnp.array([p], jnp.int32)])
+    gid = jnp.repeat(jnp.arange(n + 1, dtype=jnp.int32), ncov_ext,
+                     total_repeat_length=p)
+    offsets_ext = jnp.concatenate([offsets, total[None]])
+    rank = jnp.arange(p, dtype=jnp.int32) - offsets_ext[gid]
+    is_pad = gid >= n
+    g = jnp.minimum(gid, n - 1)
+
+    nx_g = jnp.maximum(nx[g], 1)
+    tx = x0[g] + rank % nx_g
+    ty = y0[g] + rank // nx_g
+    tile = jnp.where(is_pad, num_tiles, ty * ntx + tx)
+    depth = jnp.where(is_pad, jnp.float32(jnp.inf), splats.depth[g])
+
+    # Lexicographic (tile, depth) sort; stable, carries the gaussian id.
+    tile_s, depth_s, gid_s = jax.lax.sort((tile, depth, g), num_keys=2)
+    pad_s = tile_s >= num_tiles
+
+    # Gather pair features in sorted order.
+    feats = jnp.zeros((NUM_FEATURES, p), jnp.float32)
+    opac = jnp.where(pad_s, 0.0, splats.opacity[gid_s])
+    feats = feats.at[FEAT_X].set(splats.xy[gid_s, 0])
+    feats = feats.at[FEAT_Y].set(splats.xy[gid_s, 1])
+    feats = feats.at[FEAT_CONIC_A].set(splats.conic[gid_s, 0])
+    feats = feats.at[FEAT_CONIC_B].set(splats.conic[gid_s, 1])
+    feats = feats.at[FEAT_CONIC_C].set(splats.conic[gid_s, 2])
+    feats = feats.at[FEAT_R].set(splats.color[gid_s, 0])
+    feats = feats.at[FEAT_G].set(splats.color[gid_s, 1])
+    feats = feats.at[FEAT_B].set(splats.color[gid_s, 2])
+    feats = feats.at[FEAT_OPACITY].set(opac)
+    feats = feats.at[FEAT_DEPTH].set(depth_s)
+
+    tids = jnp.arange(num_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(tile_s, tids, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(tile_s, tids, side="right").astype(jnp.int32)
+
+    overflow = jnp.maximum(total - p, 0)
+    return BinnedSplats(
+        features=feats,
+        pair_gid=jnp.where(pad_s, n, gid_s).astype(jnp.int32),
+        tile_starts=starts,
+        tile_ends=ends,
+        num_pairs=jnp.minimum(total, p),
+        overflow=overflow,
+    )

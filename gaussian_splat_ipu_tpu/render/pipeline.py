@@ -1,0 +1,63 @@
+"""Full render pipeline: project -> bin -> rasterize -> image.
+
+The TPU-native equivalent of the reference's per-frame "project" program
+(src/splat/ipu_rasteriser.cpp:393-405: broadcast MVP; run GSplat on every
+tile; run the exchange lattice; stream back the framebuffer) — except the
+whole thing is one jitted XLA program per frame with exact per-frame
+binning, and the framebuffer never leaves the device unless asked.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gaussian_splat_ipu_tpu.models.camera import Camera
+from gaussian_splat_ipu_tpu.models.gaussians import GaussianModel
+from gaussian_splat_ipu_tpu.render import binning, tile_raster
+from gaussian_splat_ipu_tpu.render.projection import project_gaussians
+from gaussian_splat_ipu_tpu.utils.config import RasterConfig
+
+
+class RenderOutput(NamedTuple):
+    image: jnp.ndarray        # (H, W, 4) f32 RGBA (alpha = coverage)
+    tile_counts: jnp.ndarray  # (T,) i32 splats composited per tile
+    overflow: jnp.ndarray     # () i32 dropped pairs (capacity exceeded)
+    num_pairs: jnp.ndarray    # () i32 live (gaussian, tile) pairs
+
+
+def _untile_crop(tiles: jnp.ndarray, cfg: RasterConfig) -> jnp.ndarray:
+    """(T, NPIX, 4) tile buffers -> (H, W, 4) cropped raster image."""
+    c = tiles.shape[-1]
+    x = tiles.reshape(cfg.tiles_y, cfg.tiles_x, cfg.tile_height,
+                      cfg.tile_width, c)
+    x = x.transpose(0, 2, 1, 3, 4).reshape(cfg.padded_height,
+                                           cfg.padded_width, c)
+    return x[:cfg.image_height, :cfg.image_width]
+
+
+def render(model: GaussianModel, camera: Camera, cfg: RasterConfig,
+           use_pallas: bool = True) -> RenderOutput:
+    """Render one frame. Jit with static cfg/use_pallas:
+
+        jit_render = jax.jit(render, static_argnums=(2, 3))
+    """
+    splats = project_gaussians(model, camera, cfg)
+    binned = binning.bin_splats(splats, cfg)
+    if use_pallas:
+        from gaussian_splat_ipu_tpu.render.kernels import rasterize
+        tiles = rasterize.rasterize_tiles(binned, cfg)
+    else:
+        tiles = tile_raster.rasterize_tiles_jnp(binned, cfg)
+    image = _untile_crop(tiles, cfg)
+    counts = binned.tile_ends - binned.tile_starts
+    return RenderOutput(image=image, tile_counts=counts,
+                        overflow=binned.overflow, num_pairs=binned.num_pairs)
+
+
+def render_image(model: GaussianModel, camera: Camera,
+                 cfg: RasterConfig, use_pallas: bool = True) -> jnp.ndarray:
+    """(H, W, 4) image only — the differentiable entry point for training."""
+    return render(model, camera, cfg, use_pallas).image

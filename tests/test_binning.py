@@ -1,0 +1,100 @@
+"""Binning tests: tile coverage, sort order, CSR ranges, overflow."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from gaussian_splat_ipu_tpu.render import binning
+from gaussian_splat_ipu_tpu.render.projection import ProjectedSplats
+from gaussian_splat_ipu_tpu.utils.config import RasterConfig
+
+CFG = RasterConfig(image_width=128, image_height=64, tile_width=32,
+                   tile_height=32, pair_capacity=256, chunk_size=8,
+                   max_chunks_per_tile=32)
+# 4x2 = 8 tiles.
+
+
+def make_splats(xy, radius, depth=None, opacity=0.9):
+    n = len(xy)
+    xy = np.asarray(xy, np.float32)
+    depth = np.arange(1, n + 1, dtype=np.float32) if depth is None else \
+        np.asarray(depth, np.float32)
+    return ProjectedSplats(
+        xy=jnp.asarray(xy),
+        depth=jnp.asarray(depth),
+        conic=jnp.tile(jnp.array([[1.0, 0.0, 1.0]], jnp.float32), (n, 1)),
+        color=jnp.tile(jnp.array([[1.0, 0.5, 0.25]], jnp.float32), (n, 1)),
+        opacity=jnp.full((n,), opacity, jnp.float32),
+        radius=jnp.asarray(radius, jnp.float32),
+    )
+
+
+def test_single_tile_coverage():
+    # Small gaussian in the middle of tile (1, 0) -> exactly one pair.
+    s = make_splats([[48.0, 16.0]], [3.0])
+    b = binning.bin_splats(s, CFG)
+    assert int(b.num_pairs) == 1
+    starts = np.asarray(b.tile_starts)
+    ends = np.asarray(b.tile_ends)
+    counts = ends - starts
+    assert counts.sum() == 1
+    assert counts[1] == 1  # tile id 1 = (tx=1, ty=0)
+
+
+def test_multi_tile_coverage():
+    # Radius spanning 2x2 tiles around the (32, 32) corner.
+    s = make_splats([[32.0, 32.0]], [5.0])
+    b = binning.bin_splats(s, CFG)
+    counts = np.asarray(b.tile_ends - b.tile_starts)
+    assert int(b.num_pairs) == 4
+    assert counts[0] == 1 and counts[1] == 1  # tiles (0,0), (1,0)
+    assert counts[4] == 1 and counts[5] == 1  # tiles (0,1), (1,1)
+
+
+def test_culled_gaussian_no_pairs():
+    s = make_splats([[48.0, 16.0]], [0.0])  # radius 0 => culled
+    b = binning.bin_splats(s, CFG)
+    assert int(b.num_pairs) == 0
+    assert int((np.asarray(b.tile_ends) - np.asarray(b.tile_starts)).sum()) \
+        == 0
+
+
+def test_depth_sorted_within_tile():
+    # Three gaussians on one tile with shuffled depths.
+    s = make_splats([[16.0, 16.0], [17.0, 16.0], [18.0, 16.0]],
+                    [2.0, 2.0, 2.0], depth=[3.0, 1.0, 2.0])
+    b = binning.bin_splats(s, CFG)
+    start, end = int(b.tile_starts[0]), int(b.tile_ends[0])
+    assert end - start == 3
+    depths = np.asarray(b.features[binning.FEAT_DEPTH][start:end])
+    assert np.all(np.diff(depths) >= 0)
+    gids = np.asarray(b.pair_gid[start:end])
+    np.testing.assert_array_equal(gids, [1, 2, 0])
+
+
+def test_pad_pairs_have_zero_opacity():
+    s = make_splats([[16.0, 16.0]], [2.0])
+    b = binning.bin_splats(s, CFG)
+    op = np.asarray(b.features[binning.FEAT_OPACITY])
+    assert op[0] > 0
+    np.testing.assert_allclose(op[1:], 0.0)
+    assert int(b.pair_gid[1]) == 1  # == N marks padding
+
+
+def test_overflow_counted():
+    cfg = RasterConfig(image_width=128, image_height=64, tile_width=32,
+                       tile_height=32, pair_capacity=4, chunk_size=8)
+    # 6 gaussians, one tile each -> demand 6 > capacity 4.
+    xy = [[16.0 + i, 16.0] for i in range(6)]
+    s = make_splats(xy, [1.0] * 6)
+    b = binning.bin_splats(s, cfg)
+    assert int(b.overflow) == 2
+    assert int(b.num_pairs) == 4
+
+
+def test_offscreen_clamped_to_grid():
+    # Gaussian centred off-screen with big radius: tiles clamp to grid.
+    s = make_splats([[-10.0, -10.0]], [20.0])
+    b = binning.bin_splats(s, CFG)
+    counts = np.asarray(b.tile_ends - b.tile_starts)
+    assert int(b.num_pairs) == 1
+    assert counts[0] == 1

@@ -1,0 +1,88 @@
+"""Tiled renderer vs the dense oracle: pixel-exact agreement.
+
+The integration oracle the reference never had (SURVEY.md §4): the binned,
+chunked, tiled pipeline must reproduce the dense sequential compositor to
+float tolerance on random scenes.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gaussian_splat_ipu_tpu.models.camera import Camera
+from gaussian_splat_ipu_tpu.models.gaussians import GaussianModel
+from gaussian_splat_ipu_tpu.ops import transforms
+from gaussian_splat_ipu_tpu.render.oracle import render_oracle
+from gaussian_splat_ipu_tpu.render.pipeline import render
+from gaussian_splat_ipu_tpu.utils.config import RasterConfig
+
+
+def random_scene(n=200, seed=0):
+    return GaussianModel.random(jax.random.PRNGKey(seed), n, extent=1.0)
+
+
+def camera(w, h):
+    view = transforms.look_at([0.0, 0.5, 4.0], [0.0, 0.0, 0.0],
+                              [0.0, 1.0, 0.0])
+    proj = transforms.perspective(np.radians(50.0), w / h, 0.1, 100.0)
+    return Camera(view, proj)
+
+
+@pytest.mark.parametrize("tile", [(32, 32), (16, 64)])
+def test_tiled_matches_oracle(tile):
+    th, tw = tile
+    cfg = RasterConfig(image_width=128, image_height=96, tile_width=tw,
+                       tile_height=th, chunk_size=32, pair_capacity=8192,
+                       max_chunks_per_tile=16)
+    model = random_scene(200)
+    cam = camera(128, 96)
+    ref = np.asarray(render_oracle(model, cam, cfg))
+    out = render(model, cam, cfg, use_pallas=False)
+    assert int(out.overflow) == 0
+    got = np.asarray(out.image)
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_tile_counts_histogram():
+    cfg = RasterConfig(image_width=64, image_height=64, tile_width=32,
+                       tile_height=32, chunk_size=16, pair_capacity=4096)
+    model = random_scene(100, seed=3)
+    out = render(model, camera(64, 64), cfg, use_pallas=False)
+    counts = np.asarray(out.tile_counts)
+    assert counts.shape == (4,)
+    assert counts.sum() == int(out.num_pairs)
+
+
+def test_unaligned_image_padding_cropped():
+    # 100x70 image with 32x32 tiles: padded to 128x96 internally.
+    cfg = RasterConfig(image_width=100, image_height=70, tile_width=32,
+                       tile_height=32, chunk_size=16, pair_capacity=8192)
+    model = random_scene(150, seed=5)
+    cam = camera(100, 70)
+    ref = np.asarray(render_oracle(model, cam, cfg))
+    got = np.asarray(render(model, cam, cfg, use_pallas=False).image)
+    assert got.shape == (70, 100, 4)
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_jit_and_grad_through_pipeline():
+    cfg = RasterConfig(image_width=64, image_height=64, tile_width=32,
+                       tile_height=32, chunk_size=16, pair_capacity=4096,
+                       max_chunks_per_tile=8)
+    model = random_scene(50, seed=7)
+    cam = camera(64, 64)
+
+    def loss(m):
+        img = render(m, cam, cfg, use_pallas=False).image
+        return jnp.sum(img[..., :3] ** 2)
+
+    val, grads = jax.jit(jax.value_and_grad(loss))(model)
+    assert np.isfinite(float(val))
+    for leaf in jax.tree.leaves(grads):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    # Means must receive nonzero gradient (the pipeline is differentiable
+    # end-to-end through binning gathers).
+    assert float(jnp.abs(grads.means).sum()) > 0.0
+    assert float(jnp.abs(grads.opacities).sum()) > 0.0
+    assert float(jnp.abs(grads.sh).sum()) > 0.0
