@@ -31,8 +31,13 @@ import jax.numpy as jnp
 from gaussian_splat_ipu_tpu.render.projection import ProjectedSplats
 from gaussian_splat_ipu_tpu.utils.config import RasterConfig
 
-# Rows of the packed pair-feature table handed to the rasterizer.
-# Padded to 16 rows (two f32 sublane tiles) so chunk DMAs stay aligned.
+# Rows of the packed feature-major (16, P + C) pair table handed to the
+# rasterizer. Feature-major because Mosaic DMA slices must be 128-aligned
+# along the minor dimension: a (16, C=128) chunk slice satisfies that; the
+# kernel floor-aligns each tile's start offset to the chunk size and masks
+# the leading overlap. Built with a single row-gather from a per-gaussian
+# (N+1, 16) matrix — element-wise gathers per feature cost ~5x the sort on
+# TPU, one 64-byte row gather does not.
 FEAT_X = 0
 FEAT_Y = 1
 FEAT_CONIC_A = 2
@@ -47,9 +52,14 @@ NUM_FEATURES = 16
 
 
 class BinnedSplats(NamedTuple):
-    """Sorted (gaussian, tile) pair table + per-tile ranges."""
+    """Sorted (gaussian, tile) pair table + per-tile ranges.
 
-    features: jnp.ndarray    # (NUM_FEATURES, P) f32, sorted by (tile, depth)
+    Tile t's pairs occupy [tile_starts[t], tile_ends[t]) in the feature
+    table, depth-ascending. The table is padded by one chunk of zeros so a
+    floor-aligned chunk DMA ending past the last live pair stays in bounds.
+    """
+
+    features: jnp.ndarray    # (NUM_FEATURES, P+C) f32, sorted (tile, depth)
     pair_gid: jnp.ndarray    # (P,) i32 gaussian index per pair (N for pad)
     tile_starts: jnp.ndarray  # (T,) i32
     tile_ends: jnp.ndarray   # (T,) i32
@@ -110,28 +120,30 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig) -> BinnedSplats:
     tile_s, depth_s, gid_s = jax.lax.sort((tile, depth, g), num_keys=2)
     pad_s = tile_s >= num_tiles
 
-    # Gather pair features in sorted order.
-    feats = jnp.zeros((NUM_FEATURES, p), jnp.float32)
-    opac = jnp.where(pad_s, 0.0, splats.opacity[gid_s])
-    feats = feats.at[FEAT_X].set(splats.xy[gid_s, 0])
-    feats = feats.at[FEAT_Y].set(splats.xy[gid_s, 1])
-    feats = feats.at[FEAT_CONIC_A].set(splats.conic[gid_s, 0])
-    feats = feats.at[FEAT_CONIC_B].set(splats.conic[gid_s, 1])
-    feats = feats.at[FEAT_CONIC_C].set(splats.conic[gid_s, 2])
-    feats = feats.at[FEAT_R].set(splats.color[gid_s, 0])
-    feats = feats.at[FEAT_G].set(splats.color[gid_s, 1])
-    feats = feats.at[FEAT_B].set(splats.color[gid_s, 2])
-    feats = feats.at[FEAT_OPACITY].set(opac)
-    feats = feats.at[FEAT_DEPTH].set(depth_s)
-
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
     starts = jnp.searchsorted(tile_s, tids, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(tile_s, tids, side="right").astype(jnp.int32)
 
+    # Per-gaussian packed rows (N+1, 16); row N stays zero for pad pairs, so
+    # padding renders as alpha=0 and a garbage-free conic.
+    c = cfg.chunk_size
+    body = jnp.concatenate([
+        splats.xy, splats.conic, splats.color,
+        splats.opacity[:, None], splats.depth[:, None],
+        jnp.zeros((n, NUM_FEATURES - 10), jnp.float32),
+    ], axis=-1)                                   # (N, 16)
+    packed = jnp.concatenate(
+        [body, jnp.zeros((1, NUM_FEATURES), jnp.float32)])
+
+    gid_pad = jnp.where(pad_s, n, gid_s)
+    table = packed[gid_pad]                       # (P, 16) one row-gather
+    feats = jnp.concatenate(
+        [table, jnp.zeros((c, NUM_FEATURES), jnp.float32)]).T  # (16, P+C)
+
     overflow = jnp.maximum(total - p, 0)
     return BinnedSplats(
         features=feats,
-        pair_gid=jnp.where(pad_s, n, gid_s).astype(jnp.int32),
+        pair_gid=gid_pad.astype(jnp.int32),
         tile_starts=starts,
         tile_ends=ends,
         num_pairs=jnp.minimum(total, p),

@@ -1,0 +1,240 @@
+"""Pallas TPU rasterize kernel: VMEM-resident tile compositing.
+
+The TPU-native heart of the framework — the role of the reference's fused
+GSplat vertex (codelets/splat/codelets.cpp:143-641), redesigned for the
+VPU/MXU instead of translated:
+
+  * one grid step per framebuffer tile; the (4, NPIX) tile output lives in
+    VMEM for the whole step (the reference pins its 32x20 tile in SRAM);
+  * the tile's depth-sorted gaussian range streams from HBM in (C, 16)
+    chunks via double-buffered async DMA (the reference streams arrivals
+    through fixed neighbour channels);
+  * within a chunk there is NO serial gaussian loop (the reference's
+    per-pixel loop, codelets.cpp:362-412): alphas for all C gaussians x
+    NPIX pixels evaluate as one (C, NPIX) VPU block, transmittance
+    prefixes T_i = T_in*prod_{j<i}(1-a_j) come from a strictly-lower-
+    triangular (C, C) matmul on the MXU (exclusive cumsum of log1p(-a)),
+    and colour accumulates with a second MXU contraction
+    (C,3)^T @ (C,NPIX) -> (3, NPIX);
+  * per-tile early exit: a while_loop stops as soon as every pixel's
+    transmittance terminates (reference T < 1e-4 break,
+    codelets.cpp:405-408) or the tile's range is exhausted — work per tile
+    is proportional to its own occupancy, which is the fix for the load
+    imbalance the reference documents as its hard problem (README.md:14-17).
+
+Layout invariants (see render/binning.py): features are (P + C, 16)
+row-major so every chunk DMA is contiguous; gaussian params are (C, 1)
+column slices broadcast against (1, NPIX) pixel rows — zero transposes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gaussian_splat_ipu_tpu.render import binning as B
+from gaussian_splat_ipu_tpu.render import tile_raster
+from gaussian_splat_ipu_tpu.utils.config import RasterConfig
+
+
+def _kernel(starts_ref, ends_ref, feat_ref, out_ref, chunk_buf, sems, *,
+            cfg: RasterConfig):
+    tid = pl.program_id(0)
+    c = cfg.chunk_size
+    npix = cfg.pixels_per_tile
+    ntx = cfg.tiles_x
+
+    start = starts_ref[tid]
+    end = ends_ref[tid]
+    # Floor-align the DMA base so every chunk offset is a multiple of C
+    # (Mosaic requires 128-aligned lane slices); pairs before `start` in the
+    # first chunk belong to the previous tile and are masked off.
+    base = (start // c) * c
+    nchunks = pl.cdiv(end - base, c)
+
+    # Pixel coordinates of this tile as (1, NPIX) rows, pixels on lanes.
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, npix), 1)
+    ox = (tid % ntx) * cfg.tile_width
+    oy = (tid // ntx) * cfg.tile_height
+    px = (idx % cfg.tile_width + ox).astype(jnp.float32)
+    py = (idx // cfg.tile_width + oy).astype(jnp.float32)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
+
+    # Strictly-lower-triangular ones: L @ v = exclusive cumsum along the
+    # gaussian (sublane) axis, one MXU matmul for the whole chunk.
+    row = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    tril = jnp.where(col < row, 1.0, 0.0)
+
+    def dma(slot, k):
+        off = pl.multiple_of(base + k * c, c)
+        return pltpu.make_async_copy(
+            feat_ref.at[:, pl.ds(off, c)], chunk_buf.at[slot],
+            sems.at[slot])
+
+    # Prologue: stage the first chunk.
+    @pl.when(nchunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    def cond(state):
+        k, _t, _color, stopped = state
+        return jnp.logical_and(k < nchunks, jnp.min(stopped) < 0.5)
+
+    def body(state):
+        k, t, color, stopped = state
+        slot = jax.lax.rem(k, 2)
+        dma(slot, k).wait()
+        # One small (16, C) -> (C, 16) transpose per chunk puts gaussian
+        # params on sublanes as (C, 1) columns; pixels stay on lanes.
+        chunk = chunk_buf[slot].T                     # (C, 16)
+
+        pos = base + k * c + lane                     # (C, 1)
+        valid = (pos >= start) & (pos < end)
+        gx = chunk[:, B.FEAT_X:B.FEAT_X + 1]
+        gy = chunk[:, B.FEAT_Y:B.FEAT_Y + 1]
+        ca = chunk[:, B.FEAT_CONIC_A:B.FEAT_CONIC_A + 1]
+        cb = chunk[:, B.FEAT_CONIC_B:B.FEAT_CONIC_B + 1]
+        cc = chunk[:, B.FEAT_CONIC_C:B.FEAT_CONIC_C + 1]
+        op = chunk[:, B.FEAT_OPACITY:B.FEAT_OPACITY + 1]
+
+        dx = gx - px                                   # (C, NPIX)
+        dy = gy - py
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        alpha = jnp.minimum(cfg.alpha_clamp, op * jnp.exp(power))
+        skip = ((power > 0.0) | (alpha < cfg.alpha_min)
+                | jnp.logical_not(valid))
+        alpha = jnp.where(skip, 0.0, alpha)
+
+        log1ma = jnp.log1p(-alpha)
+        # Exclusive cumsum of log-transmittance along the gaussian axis via
+        # the triangular matmul. Full f32 passes: the default (bf16) MXU
+        # precision shows up as ~1e-2 pixel error through exp().
+        excl = jax.lax.dot_general(
+            tril, log1ma, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        t_pre = t * jnp.exp(excl)                      # (C, NPIX)
+        test_t = t_pre * (1.0 - alpha)
+        trig = jnp.where((test_t < cfg.transmittance_eps) & (alpha > 0.0),
+                         1.0, 0.0)
+        # Inclusive "any trigger at or before i": exclusive count + self.
+        # Counts are small integers, bf16-exact, so default precision is ok.
+        trip = jax.lax.dot_general(
+            tril, trig, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + trig
+        live = jnp.where(trip >= 1.0, 0.0, 1.0) * (1.0 - stopped)
+        w = alpha * t_pre * live                       # (C, NPIX)
+
+        rgb = chunk[:, B.FEAT_R:B.FEAT_B + 1]          # (C, 3)
+        # Tiny contraction (3 x NPIX x C): full f32 passes cost nothing and
+        # keep colour exact vs the jnp spec.
+        color = color + jax.lax.dot_general(
+            rgb, w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)       # (3, NPIX)
+        t = t * jnp.exp(jnp.sum(log1ma * live, axis=0, keepdims=True))
+        # A pixel that triggered anywhere in this chunk never resumes.
+        stopped = jnp.maximum(stopped, jnp.max(trig, axis=0, keepdims=True))
+
+        # Speculatively stage the next chunk if we will keep going.
+        @pl.when(jnp.logical_and(k + 1 < nchunks, jnp.min(stopped) < 0.5))
+        def _():
+            dma(jax.lax.rem(k + 1, 2), k + 1).start()
+
+        return k + 1, t, color, stopped
+
+    t0 = jnp.ones((1, npix), jnp.float32)
+    color0 = jnp.zeros((3, npix), jnp.float32)
+    stopped0 = jnp.zeros((1, npix), jnp.float32)
+    k, t, color, _ = jax.lax.while_loop(cond, body,
+                                        (jnp.int32(0), t0, color0, stopped0))
+
+    # Background as python-float constants (a jnp const would be captured).
+    for ch in range(3):
+        out_ref[0, ch:ch + 1, :] = (color[ch:ch + 1, :]
+                                    + t * cfg.background[ch])
+    out_ref[0, 3:4, :] = 1.0 - t
+
+
+def _pallas_forward(features, starts, ends, cfg: RasterConfig,
+                    interpret: bool):
+    c = cfg.chunk_size
+    npix = cfg.pixels_per_tile
+    num_tiles = cfg.num_tiles
+    if not interpret and (c % 128 != 0 or npix % 128 != 0):
+        raise ValueError(
+            "on TPU hardware chunk_size and tile pixel count must be "
+            f"multiples of 128 (got chunk={c}, npix={npix}): DMA slices and "
+            "lane layouts must align to the 128-wide vector unit")
+    feats = features  # (16, PA), chunk-aligned per-tile ranges
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, 4, npix), lambda i, s, e: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, B.NUM_FEATURES, c), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_kernel, cfg=cfg)
+    flops_est = 2 * npix * c * c  # per tile, dominated by the cumsum matmul
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 4, npix), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_est * num_tiles,
+            bytes_accessed=feats.size * 4 + num_tiles * 4 * npix * 4,
+            transcendentals=3 * npix * c * num_tiles),
+        interpret=interpret,
+    )(starts, ends, feats)
+
+
+def rasterize_tiles(binned: B.BinnedSplats, cfg: RasterConfig,
+                    interpret: bool | None = None) -> jnp.ndarray:
+    """Rasterize binned splats -> (T, NPIX, 4) RGBA tile buffers.
+
+    Forward runs the Pallas kernel; backward (via jax.custom_vjp) is the
+    autodiff of the mathematically-identical jnp formulation
+    (render/tile_raster.py) — same chunk math, so gradients are exact for
+    the Pallas output too. Dedicated backward kernels replace this once
+    profiled (see render/kernels/rasterize_vjp.py plan).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    starts = binned.tile_starts
+    ends = binned.tile_ends
+
+    @jax.custom_vjp
+    def raster(features, starts, ends):
+        tiles = _pallas_forward(features, starts, ends, cfg, interpret)
+        return tiles.transpose(0, 2, 1)  # (T, NPIX, 4)
+
+    def raster_fwd(features, starts, ends):
+        return raster(features, starts, ends), (features, starts, ends)
+
+    def raster_bwd(res, g):
+        features, starts, ends = res
+        fake = B.BinnedSplats(features=features, pair_gid=None,
+                              tile_starts=starts, tile_ends=ends,
+                              num_pairs=None, overflow=None)
+        _, vjp = jax.vjp(
+            lambda f: tile_raster.rasterize_tiles_jnp(
+                fake._replace(features=f), cfg), features)
+        (df,) = vjp(g)
+        return df, None, None
+
+    raster.defvjp(raster_fwd, raster_bwd)
+    return raster(binned.features, starts, ends)

@@ -68,7 +68,10 @@ def composite_chunk(t_in, stopped_in, alpha, rgb, cfg: RasterConfig):
     tripped = jnp.cumsum(trig.astype(jnp.float32), axis=1) >= 1.0
     live = (~tripped) & (~stopped_in)
     w = alpha * t_pre * live.astype(jnp.float32)         # (NPIX, C)
-    color_add = jnp.dot(w, rgb, preferred_element_type=jnp.float32)
+    # Full-precision contraction: this path is the gradient spec, and the
+    # TPU default (bf16 passes) would introduce ~1e-2 colour error.
+    color_add = jnp.dot(w, rgb, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
     t_out = t_in * jnp.exp(jnp.sum(log1ma * live.astype(jnp.float32),
                                    axis=1, keepdims=True))
     stopped_out = stopped_in | tripped[:, -1:]
@@ -96,9 +99,9 @@ def rasterize_tiles_jnp(binned: B.BinnedSplats, cfg: RasterConfig):
     chunks of chunk_size gaussians (tail masked). Differentiable.
     """
     c = cfg.chunk_size
-    # Pad one chunk of zeros so per-tile chunk slices never clamp (a clamped
-    # dynamic_slice would misalign the validity mask against loaded data).
-    feats = jnp.pad(binned.features, ((0, 0), (0, c)))
+    # Chunk-aligned ranges guarantee idx + c never exceeds the table for any
+    # chunk with live pairs; fully-dead chunks are masked by `valid`.
+    feats = binned.features
     lx, ly = _pixel_coords(cfg)
     ntx = cfg.tiles_x
     npix = cfg.pixels_per_tile

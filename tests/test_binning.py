@@ -65,7 +65,7 @@ def test_depth_sorted_within_tile():
     b = binning.bin_splats(s, CFG)
     start, end = int(b.tile_starts[0]), int(b.tile_ends[0])
     assert end - start == 3
-    depths = np.asarray(b.features[binning.FEAT_DEPTH][start:end])
+    depths = np.asarray(b.features[binning.FEAT_DEPTH, start:end])
     assert np.all(np.diff(depths) >= 0)
     gids = np.asarray(b.pair_gid[start:end])
     np.testing.assert_array_equal(gids, [1, 2, 0])
