@@ -1,0 +1,169 @@
+"""Application entry point: the interactive/offline render loop.
+
+TPU-native rebuild of the reference application (src/main/splat.cpp):
+flag parsing (:24-36), scene load + centring (:86-100), camera fit
+(:186-195), engine compile, then the render loop with optional remote-UI
+control (:245-322), per-frame throughput logging (:267-272,318) and a final
+test.png dump (:326).
+
+Run:  python -m gaussian_splat_ipu_tpu.app.main --input scene.ply
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+
+import numpy as np
+
+log = logging.getLogger("gsplat")
+
+
+def parse_args(argv=None):
+    """Flag parity with the reference CLI (splat.cpp:24-36) plus the knobs
+    the reference hard-codes (image size, tile capacities)."""
+    p = argparse.ArgumentParser(description="TPU gaussian splat renderer")
+    p.add_argument("--input", "-o", required=True,
+                   help="PLY or XYZ scene file")
+    p.add_argument("--log-level", default="info",
+                   choices=["trace", "debug", "info", "warn", "err", "off"])
+    p.add_argument("--ui-port", type=int, default=0,
+                   help="remote UI port (0 = headless)")
+    p.add_argument("--device", default="tpu",
+                   choices=["tpu", "cpu", "points"],
+                   help="tpu = Pallas kernels; cpu = jnp fallback; points = "
+                        "1-px point splats (reference --device cpu parity)")
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--height", type=int, default=720)
+    p.add_argument("--fov", type=float, default=40.0, help="degrees")
+    p.add_argument("--frames", type=int, default=0,
+                   help="headless: render N orbit frames then exit "
+                        "(0 = single frame)")
+    p.add_argument("--output", default="test.png",
+                   help="final frame dump (splat.cpp:326 parity)")
+    p.add_argument("--pair-capacity", type=int, default=1 << 19)
+    p.add_argument("--compile-cache", default="",
+                   help="persistent XLA compile cache dir "
+                        "(saveExe/loadExe parity)")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+
+    from gaussian_splat_ipu_tpu.runtime import engine as engine_lib
+    engine_lib.setup_logging(args.log_level)
+
+    import jax
+
+    from gaussian_splat_ipu_tpu.io.scene import load_scene
+    from gaussian_splat_ipu_tpu.models.camera import Camera
+    from gaussian_splat_ipu_tpu.render import points as points_render
+    from gaussian_splat_ipu_tpu.render.pipeline import render
+    from gaussian_splat_ipu_tpu.ui.async_task import AsyncTask
+    from gaussian_splat_ipu_tpu.utils import image as image_util
+    from gaussian_splat_ipu_tpu.utils.config import (RasterConfig,
+                                                     RuntimeConfig)
+
+    scene = load_scene(args.input)
+    model = scene.model
+    n = model.num_gaussians
+    log.info("loaded %d gaussians from %s", n, args.input)
+
+    cfg = RasterConfig(image_width=args.width, image_height=args.height,
+                       pair_capacity=args.pair_capacity)
+    runtime_cfg = RuntimeConfig(
+        compile_cache_dir=args.compile_cache,
+        use_cpu_model=(args.device != "tpu"))
+    engine = engine_lib.RenderEngine(runtime_cfg)
+
+    aspect = args.width / args.height
+    fov = float(np.radians(args.fov))
+
+    def make_camera(state) -> Camera:
+        return Camera.orbit(scene.bb_min, scene.bb_max, state["fov"],
+                            aspect, rot_x_deg=state["rx"],
+                            rot_y_deg=state["ry"],
+                            translation=(state["x"], state["y"],
+                                         state["z"]))
+
+    use_pallas = args.device == "tpu"
+    if args.device == "points":
+        def frame_fn(m, cam):
+            out = points_render.render_points(m, cam, cfg)
+            return out.image, points_render.tile_histogram(m, cam, cfg)
+    else:
+        def frame_fn(m, cam):
+            out = render(m, cam, cfg, use_pallas)
+            return out.image, out.tile_counts
+
+    state0 = {"fov": fov, "rx": 0.0, "ry": 0.0, "x": 0.0, "y": 0.0,
+              "z": 0.0}
+    engine.register("project", frame_fn, (model, make_camera(state0)))
+    log.info("engine ready: %s", engine.manifest())
+
+    ui = None
+    if args.ui_port:
+        from gaussian_splat_ipu_tpu.ui.server import InterfaceServer
+        ui = InterfaceServer(args.ui_port)
+        ui.start()
+
+    ui_task = AsyncTask()
+    image_host = None
+    exposure, gamma = 1.0, 1.0
+    state = dict(state0)
+    nframes = max(args.frames, 1)
+    interactive = ui is not None and args.frames == 0
+
+    i = 0
+    stop = False
+    try:
+        while not stop:
+            if ui is not None and ui.state_changed():
+                s = ui.consume_state()
+                stop = s.stop
+                exposure, gamma = s.exposure, s.gamma
+                state.update(fov=s.fov, rx=s.rot_x_deg, ry=s.rot_y_deg,
+                             x=s.x, y=s.y, z=s.z)
+            elif not interactive:
+                state["ry"] = 360.0 * i / nframes
+
+            t0 = time.perf_counter()
+            image, counts = engine.run("project", model,
+                                       make_camera(state))
+            image.block_until_ready()
+            dt = time.perf_counter() - t0
+            if i % 30 == 0:
+                log.info("frame %d: %.2f ms (%.1f fps, %.2f Msplats/s)",
+                         i, dt * 1e3, 1.0 / dt, n / dt / 1e6)
+
+            if ui is not None:
+                # Overlap encode/send with the next frame (splat.cpp:280-283
+                # double-buffering via AsyncTask).
+                ui_task.wait_for_completion()
+                image_host = np.asarray(image)
+                counts_host = np.asarray(counts)
+
+                def push(img=image_host, cnt=counts_host, ex=exposure,
+                         gm=gamma):
+                    ui.send_preview_image(img, ex, gm)
+                    ui.send_histogram(cnt)
+
+                ui_task.run(push)
+
+            i += 1
+            if not interactive and i >= nframes:
+                break
+    finally:
+        if ui is not None:
+            ui_task.wait_for_completion()
+            ui.stop()
+
+    image_util.write_png(args.output, np.asarray(image))
+    log.info("wrote %s", args.output)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,181 @@
+"""Distributed rendering + training over a device mesh (shard_map).
+
+The TPU-native replacement for the reference's tile-exchange scaling story
+(SURVEY.md §2: framebuffer sharded one region per IPU tile, gaussians sliced
+across the same tiles, neighbour-lattice migration one hop per frame —
+src/splat/ipu_rasteriser.cpp:164-214, src/splat/edge_builder.cpp:35-84).
+
+TPU design — one mesh axis, two roles:
+
+  1. *Projection is data-parallel over gaussians.* Each device holds an N/D
+     shard of the parameter pytree and projects it locally (MXU matmuls).
+  2. *Exchange is one all_gather of compact projected splats* (11 f32 per
+     gaussian — position/depth/conic/color/opacity/radius), NOT of raw
+     parameters (59+ floats incl. SH): the collective rides ICI at a
+     fraction of the parameter traffic, and its autodiff transpose is a
+     psum_scatter, which is exactly the reduce-scatter you want for the
+     backward pass.
+  3. *Rasterization is spatially parallel over framebuffer tile rows.* Each
+     device bins ONLY its own row strip (render/binning.py row_lo/num_rows:
+     pairs for other devices' tiles are never enumerated) and rasterizes it
+     with the Pallas kernel; the image comes back tile-row-sharded.
+
+Every frame is exact — no multi-frame migration transient like the
+reference's lattice (SURVEY.md §3.2 note).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from gaussian_splat_ipu_tpu.models.camera import Camera
+from gaussian_splat_ipu_tpu.models.gaussians import GaussianModel
+from gaussian_splat_ipu_tpu.parallel.mesh import SHARD_AXIS
+from gaussian_splat_ipu_tpu.render import binning, tile_raster
+from gaussian_splat_ipu_tpu.render.projection import (ProjectedSplats,
+                                                      project_gaussians)
+from gaussian_splat_ipu_tpu.train import losses as loss_lib
+from gaussian_splat_ipu_tpu.train import trainer
+from gaussian_splat_ipu_tpu.utils.config import RasterConfig
+
+
+class ShardedRenderOutput(NamedTuple):
+    image: jnp.ndarray        # (H, W, 4) tile-row-sharded across the mesh
+    tile_counts: jnp.ndarray  # (rows_pad * tiles_x,) i32, sharded
+    overflow: jnp.ndarray     # () i32, summed over devices (replicated)
+    num_pairs: jnp.ndarray    # () i32, summed over devices (replicated)
+
+
+# -- packed projected-splat wire format (the all_gather payload) -----------
+_PACK_COLS = 11
+
+
+def _pack_splats(sp: ProjectedSplats) -> jnp.ndarray:
+    return jnp.concatenate([
+        sp.xy, sp.depth[:, None], sp.conic, sp.color,
+        sp.opacity[:, None], sp.radius[:, None],
+    ], axis=-1)  # (n, 11)
+
+
+def _unpack_splats(f: jnp.ndarray) -> ProjectedSplats:
+    return ProjectedSplats(
+        xy=f[:, 0:2], depth=f[:, 2], conic=f[:, 3:6], color=f[:, 6:9],
+        opacity=f[:, 9], radius=f[:, 10])
+
+
+def _rows_per_device(cfg: RasterConfig, num_devices: int) -> int:
+    return -(-cfg.tiles_y // num_devices)
+
+
+def _untile_rows(tiles: jnp.ndarray, cfg: RasterConfig,
+                 rows_total: int) -> jnp.ndarray:
+    """(rows_total * tiles_x, NPIX, 4) -> (H, W, 4), cropping phantom rows."""
+    c = tiles.shape[-1]
+    x = tiles.reshape(rows_total, cfg.tiles_x, cfg.tile_height,
+                      cfg.tile_width, c)
+    x = x.transpose(0, 2, 1, 3, 4).reshape(rows_total * cfg.tile_height,
+                                           cfg.padded_width, c)
+    return x[:cfg.image_height, :cfg.image_width]
+
+
+def render_sharded(model: GaussianModel, camera: Camera, cfg: RasterConfig,
+                   mesh, axis: str = SHARD_AXIS, use_pallas: bool = True,
+                   pair_capacity: int | None = None) -> ShardedRenderOutput:
+    """Render one frame across the mesh. Differentiable end-to-end.
+
+    model must be sharded along N on `axis` (parallel.mesh.shard_model);
+    camera is replicated. Returns the image sharded by tile rows. Jit with
+    static cfg/mesh/axis/use_pallas/pair_capacity.
+    """
+    d = mesh.shape[axis]
+    rows = _rows_per_device(cfg, d)
+    nloc = rows * cfg.tiles_x
+    if pair_capacity is None:
+        # Per-device pair budget: an even share plus 2x imbalance slack.
+        pair_capacity = max(2 * cfg.pair_capacity // d, 4 * cfg.chunk_size)
+
+    def shard_fn(model_shard, camera_rep):
+        sp_local = project_gaussians(model_shard, camera_rep, cfg)
+        packed = _pack_splats(sp_local)
+        all_packed = jax.lax.all_gather(packed, axis, axis=0, tiled=True)
+        sp = _unpack_splats(all_packed)
+
+        row_lo = jax.lax.axis_index(axis) * rows
+        binned = binning.bin_splats(sp, cfg, row_lo=row_lo, num_rows=rows,
+                                    pair_capacity=pair_capacity)
+        offset = row_lo * cfg.tiles_x
+        if use_pallas:
+            from gaussian_splat_ipu_tpu.render.kernels import rasterize
+            tiles = rasterize.rasterize_tiles(binned, cfg,
+                                              tile_offset=offset)
+        else:
+            tiles = tile_raster.rasterize_tiles_jnp(binned, cfg,
+                                                    tile_offset=offset)
+        counts = binned.tile_ends - binned.tile_starts
+        overflow = jax.lax.psum(binned.overflow, axis)
+        num_pairs = jax.lax.psum(binned.num_pairs, axis)
+        return tiles, counts, overflow, num_pairs
+
+    tiles, counts, overflow, num_pairs = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis), P()),
+        out_specs=(P(axis), P(axis), P(), P()),
+        check_vma=False,  # custom_vjp inside defeats the varying-axis check
+    )(model, camera)
+
+    image = _untile_rows(tiles, cfg, rows * d)
+    return ShardedRenderOutput(image=image, tile_counts=counts,
+                               overflow=overflow, num_pairs=num_pairs)
+
+
+def render_image_sharded(model, camera, cfg: RasterConfig, mesh,
+                         axis: str = SHARD_AXIS, use_pallas: bool = True,
+                         pair_capacity: int | None = None) -> jnp.ndarray:
+    return render_sharded(model, camera, cfg, mesh, axis, use_pallas,
+                          pair_capacity).image
+
+
+def make_sharded_train_step(mesh, raster_cfg: RasterConfig,
+                            train_cfg: trainer.TrainConfig,
+                            axis: str = SHARD_AXIS, use_pallas: bool = True,
+                            pair_capacity: int | None = None):
+    """Build a jitted distributed train step.
+
+    Collectives: the forward all_gathers compact projected splats; its
+    autodiff transpose reduce-scatters splat gradients back to the owning
+    shard, so parameter gradients land already sharded — there is no
+    separate gradient all-reduce to schedule (the overlap the north star
+    asks for falls out of XLA's latency-hiding scheduler on the
+    reduce_scatter).
+    """
+    tx = trainer.make_optimizer(train_cfg)
+
+    def loss_fn(params, camera, target):
+        image = render_image_sharded(params, camera, raster_cfg, mesh, axis,
+                                     use_pallas, pair_capacity)
+        return loss_lib.render_loss(image, target, train_cfg.ssim_weight)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: trainer.TrainState, camera: Camera,
+             target: jnp.ndarray):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, camera,
+                                                  target)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        params = GaussianModel(
+            means=params.means, log_scales=params.log_scales,
+            quats=params.quats / jnp.maximum(
+                jnp.linalg.norm(params.quats, axis=-1, keepdims=True),
+                1e-8),
+            opacities=params.opacities, sh=params.sh)
+        return trainer.TrainState(params=params, opt_state=opt_state,
+                                  step=state.step + 1), loss
+
+    return step

@@ -1,0 +1,53 @@
+"""Device mesh construction + parameter sharding helpers.
+
+The reference's only multi-device notion is `RuntimeConfig.numIpus` /
+`numReplicas` plumbed into a Poplar virtual graph over 1440 tiles of ONE IPU
+(reference: include/ipu/ipu_utils.hpp:174-183,554-555 — replication exists
+but is always 1). Here multi-device is first-class: a 1D `jax.sharding.Mesh`
+whose single axis simultaneously shards gaussians (data parallelism over
+primitives) and framebuffer tile rows (spatial parallelism) — the two axes
+the reference maps onto IPU tiles (SURVEY.md §2 parallelism table).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# The single mesh axis: shards gaussians at projection time and framebuffer
+# tile rows at rasterization time (same devices, two roles).
+SHARD_AXIS = "shard"
+
+
+def make_mesh(num_devices: int | None = None,
+              axis: str = SHARD_AXIS) -> Mesh:
+    devices = jax.devices()
+    n = len(devices) if num_devices is None else num_devices
+    if n > len(devices):
+        raise ValueError(f"requested {n} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:n]), (axis,))
+
+
+def gaussian_sharding(mesh: Mesh, axis: str = SHARD_AXIS) -> NamedSharding:
+    """Leading (gaussian) dimension sharded, everything else replicated."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_model(model, mesh: Mesh, axis: str = SHARD_AXIS):
+    """Place a GaussianModel with the N axis sharded across the mesh.
+
+    Pads N up to a multiple of the mesh size (padding gaussians have
+    opacity -inf and render as nothing — models/gaussians.py pad_to).
+    """
+    d = mesh.shape[axis]
+    n = model.num_gaussians
+    n_pad = -(-n // d) * d
+    if n_pad != n:
+        model = model.pad_to(n_pad)
+    return jax.device_put(model, gaussian_sharding(mesh, axis))

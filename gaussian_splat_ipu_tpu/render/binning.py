@@ -67,35 +67,65 @@ class BinnedSplats(NamedTuple):
     overflow: jnp.ndarray    # () i32 pairs dropped due to capacity
 
 
-def tile_ranges_of(splats: ProjectedSplats, cfg: RasterConfig):
-    """Clamped tile-rectangle [x0, y0] + [nx, ny] per gaussian."""
+def tile_ranges_of(splats: ProjectedSplats, cfg: RasterConfig,
+                   row_lo=0, row_hi=None):
+    """Clamped tile-rectangle [x0, y0] + [nx, ny] per gaussian.
+
+    row_lo/row_hi restrict coverage to tile rows [row_lo, row_hi) — the
+    distributed path passes this device's row strip (traced scalars are
+    fine) so only locally-owned (gaussian, tile) pairs are ever enumerated.
+    A gaussian disjoint from the strip gets nx = ny = 0.
+    """
     ntx, nty = cfg.tiles_x, cfg.tiles_y
+    if row_hi is None:
+        row_hi = nty
     r = splats.radius
     visible = r > 0.0
     x, y = splats.xy[:, 0], splats.xy[:, 1]
 
-    def span(c, r, tile_sz, ntiles):
-        lo = jnp.clip(jnp.floor((c - r) / tile_sz), 0, ntiles - 1)
-        hi = jnp.clip(jnp.floor((c + r) / tile_sz), 0, ntiles - 1)
-        lo = lo.astype(jnp.int32)
-        n = hi.astype(jnp.int32) - lo + 1
+    def span(c, r, tile_sz, lo_bound, hi_bound):
+        lo = jnp.maximum(jnp.floor((c - r) / tile_sz).astype(jnp.int32),
+                         lo_bound)
+        hi = jnp.minimum(jnp.floor((c + r) / tile_sz).astype(jnp.int32),
+                         hi_bound - 1)
+        n = jnp.maximum(hi - lo + 1, 0)  # 0 when disjoint from the bounds
         # Footprint guard band (reference clipSize, codelets.cpp:622,470).
         return lo, jnp.clip(n, 0, cfg.max_tiles_per_axis)
 
-    x0, nx = span(x, r, cfg.tile_width, ntx)
-    y0, ny = span(y, r, cfg.tile_height, nty)
+    x0, nx = span(x, r, cfg.tile_width, 0, ntx)
+    y0, ny = span(y, r, cfg.tile_height, row_lo, row_hi)
     nx = jnp.where(visible, nx, 0)
     ny = jnp.where(visible, ny, 0)
     return x0, y0, nx, ny
 
 
-def bin_splats(splats: ProjectedSplats, cfg: RasterConfig) -> BinnedSplats:
+def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
+               row_lo=None, num_rows: int | None = None,
+               pair_capacity: int | None = None) -> BinnedSplats:
+    """Bin splats into per-tile depth-sorted ranges.
+
+    With row_lo/num_rows set, bins only tiles in rows
+    [row_lo, row_lo + num_rows) — this device's strip in the distributed
+    renderer — and tile_starts/ends cover just those num_rows*tiles_x tiles
+    (still indexed by GLOBAL flat tile id in the sort keys). row_lo may be a
+    traced scalar (e.g. axis_index inside shard_map); num_rows and
+    pair_capacity must be static.
+    """
     n = splats.xy.shape[0]
-    p = cfg.pair_capacity
+    p = pair_capacity or cfg.pair_capacity
     ntx = cfg.tiles_x
     num_tiles = cfg.num_tiles
+    if row_lo is None:
+        row_lo = 0
+        num_rows = cfg.tiles_y
+    assert num_rows is not None
+    num_local = num_rows * ntx
+    row_lo = jnp.asarray(row_lo, jnp.int32)
+    # Uneven row sharding leaves phantom rows past the grid on the last
+    # device; clamp so no pairs are ever generated for them.
+    row_hi = jnp.minimum(row_lo + num_rows, cfg.tiles_y)
 
-    x0, y0, nx, ny = tile_ranges_of(splats, cfg)
+    x0, y0, nx, ny = tile_ranges_of(splats, cfg, row_lo, row_hi)
     ncov = (nx * ny).astype(jnp.int32)
     offsets = jnp.cumsum(ncov) - ncov          # exclusive
     total = offsets[-1] + ncov[-1] if n else jnp.int32(0)
@@ -113,14 +143,16 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig) -> BinnedSplats:
     nx_g = jnp.maximum(nx[g], 1)
     tx = x0[g] + rank % nx_g
     ty = y0[g] + rank // nx_g
-    tile = jnp.where(is_pad, num_tiles, ty * ntx + tx)
+    # Pad sentinel sorts after every real (and phantom-row) tile id.
+    pad_tile = jnp.int32(1 << 30)
+    tile = jnp.where(is_pad, pad_tile, ty * ntx + tx)
     depth = jnp.where(is_pad, jnp.float32(jnp.inf), splats.depth[g])
 
     # Lexicographic (tile, depth) sort; stable, carries the gaussian id.
     tile_s, depth_s, gid_s = jax.lax.sort((tile, depth, g), num_keys=2)
     pad_s = tile_s >= num_tiles
 
-    tids = jnp.arange(num_tiles, dtype=jnp.int32)
+    tids = row_lo * ntx + jnp.arange(num_local, dtype=jnp.int32)
     starts = jnp.searchsorted(tile_s, tids, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(tile_s, tids, side="right").astype(jnp.int32)
 

@@ -41,15 +41,22 @@ from gaussian_splat_ipu_tpu.render import tile_raster
 from gaussian_splat_ipu_tpu.utils.config import RasterConfig
 
 
-def _kernel(starts_ref, ends_ref, feat_ref, out_ref, chunk_buf, sems, *,
-            cfg: RasterConfig):
-    tid = pl.program_id(0)
+def _kernel(starts_ref, ends_ref, off_ref, feat_ref, out_ref, chunk_buf,
+            sems, *, cfg: RasterConfig):
+    lid = pl.program_id(0)           # local tile index within this shard
+    tid = off_ref[0] + lid           # global flat tile id (pixel coords)
     c = cfg.chunk_size
     npix = cfg.pixels_per_tile
     ntx = cfg.tiles_x
 
-    start = starts_ref[tid]
-    end = ends_ref[tid]
+    start = starts_ref[lid]
+    # Bounded per-tile work, identical to the jnp spec's scan bound: at most
+    # max_chunks_per_tile * chunk_size pairs composite, counted from `start`
+    # (depth order means the dropped tail is the farthest, already-occluded
+    # gaussians — the graceful-degradation analogue of the reference's
+    # fixed-capacity channels, codelets.cpp:487-490).
+    end = jnp.minimum(ends_ref[lid],
+                      start + cfg.max_chunks_per_tile * c)
     # Floor-align the DMA base so every chunk offset is a multiple of C
     # (Mosaic requires 128-aligned lane slices); pairs before `start` in the
     # first chunk belong to the previous tile and are masked off.
@@ -162,11 +169,12 @@ def _kernel(starts_ref, ends_ref, feat_ref, out_ref, chunk_buf, sems, *,
     out_ref[0, 3:4, :] = 1.0 - t
 
 
-def _pallas_forward(features, starts, ends, cfg: RasterConfig,
+def _pallas_forward(features, starts, ends, offset, cfg: RasterConfig,
                     interpret: bool):
     c = cfg.chunk_size
     npix = cfg.pixels_per_tile
-    num_tiles = cfg.num_tiles
+    num_tiles = starts.shape[0]  # tiles in this shard (== cfg.num_tiles
+    #                              for the single-device path)
     if not interpret and (c % 128 != 0 or npix % 128 != 0):
         raise ValueError(
             "on TPU hardware chunk_size and tile pixel count must be "
@@ -175,10 +183,10 @@ def _pallas_forward(features, starts, ends, cfg: RasterConfig,
     feats = features  # (16, PA), chunk-aligned per-tile ranges
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, 4, npix), lambda i, s, e: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 4, npix), lambda i, s, e, o: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, B.NUM_FEATURES, c), jnp.float32),
@@ -198,12 +206,17 @@ def _pallas_forward(features, starts, ends, cfg: RasterConfig,
             bytes_accessed=feats.size * 4 + num_tiles * 4 * npix * 4,
             transcendentals=3 * npix * c * num_tiles),
         interpret=interpret,
-    )(starts, ends, feats)
+    )(starts, ends, offset, feats)
 
 
 def rasterize_tiles(binned: B.BinnedSplats, cfg: RasterConfig,
-                    interpret: bool | None = None) -> jnp.ndarray:
-    """Rasterize binned splats -> (T, NPIX, 4) RGBA tile buffers.
+                    interpret: bool | None = None,
+                    tile_offset=None) -> jnp.ndarray:
+    """Rasterize binned splats -> (T_local, NPIX, 4) RGBA tile buffers.
+
+    tile_offset: global flat tile id of binned.tile_starts[0] (traced scalar
+    ok) — the distributed path renders a strip of tiles per device; the
+    single-device path leaves it None (= 0, all tiles).
 
     Forward runs the Pallas kernel; backward (via jax.custom_vjp) is the
     autodiff of the mathematically-identical jnp formulation
@@ -216,25 +229,31 @@ def rasterize_tiles(binned: B.BinnedSplats, cfg: RasterConfig,
 
     starts = binned.tile_starts
     ends = binned.tile_ends
+    if tile_offset is None:
+        tile_offset = 0
+    offset = jnp.asarray(tile_offset, jnp.int32).reshape((1,))
 
     @jax.custom_vjp
-    def raster(features, starts, ends):
-        tiles = _pallas_forward(features, starts, ends, cfg, interpret)
-        return tiles.transpose(0, 2, 1)  # (T, NPIX, 4)
+    def raster(features, starts, ends, offset):
+        tiles = _pallas_forward(features, starts, ends, offset, cfg,
+                                interpret)
+        return tiles.transpose(0, 2, 1)  # (T_local, NPIX, 4)
 
-    def raster_fwd(features, starts, ends):
-        return raster(features, starts, ends), (features, starts, ends)
+    def raster_fwd(features, starts, ends, offset):
+        return (raster(features, starts, ends, offset),
+                (features, starts, ends, offset))
 
     def raster_bwd(res, g):
-        features, starts, ends = res
+        features, starts, ends, offset = res
         fake = B.BinnedSplats(features=features, pair_gid=None,
                               tile_starts=starts, tile_ends=ends,
                               num_pairs=None, overflow=None)
         _, vjp = jax.vjp(
             lambda f: tile_raster.rasterize_tiles_jnp(
-                fake._replace(features=f), cfg), features)
+                fake._replace(features=f), cfg, tile_offset=offset[0]),
+            features)
         (df,) = vjp(g)
-        return df, None, None
+        return df, None, None, None
 
     raster.defvjp(raster_fwd, raster_bwd)
-    return raster(binned.features, starts, ends)
+    return raster(binned.features, starts, ends, offset)

@@ -92,8 +92,12 @@ def _pixel_coords(cfg: RasterConfig):
     return lx[:, None], ly[:, None]
 
 
-def rasterize_tiles_jnp(binned: B.BinnedSplats, cfg: RasterConfig):
-    """Rasterize all tiles: returns (T, NPIX, 4) RGBA tile buffers.
+def rasterize_tiles_jnp(binned: B.BinnedSplats, cfg: RasterConfig,
+                        tile_offset=None):
+    """Rasterize tiles: returns (T_local, NPIX, 4) RGBA tile buffers.
+
+    tile_offset: global flat tile id of binned.tile_starts[0] (traced ok);
+    None renders the full grid from tile 0.
 
     vmapped over tiles; per tile a lax.scan over up to max_chunks_per_tile
     chunks of chunk_size gaussians (tail masked). Differentiable.
@@ -132,5 +136,7 @@ def rasterize_tiles_jnp(binned: B.BinnedSplats, cfg: RasterConfig):
         color = color + t * bg[None, :]
         return jnp.concatenate([color, 1.0 - t], axis=-1)
 
-    tids = jnp.arange(cfg.num_tiles, dtype=jnp.int32)
+    num_local = binned.tile_starts.shape[0]
+    off = jnp.asarray(0 if tile_offset is None else tile_offset, jnp.int32)
+    tids = off + jnp.arange(num_local, dtype=jnp.int32)
     return jax.vmap(render_tile)(tids, binned.tile_starts, binned.tile_ends)

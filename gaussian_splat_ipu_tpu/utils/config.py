@@ -49,8 +49,9 @@ class RasterConfig:
     # reference caps footprints at clipSize=15 tile diagonals
     # (codelets/splat/codelets.cpp:622,470).
     max_tiles_per_axis: int = 16
-    # Max chunks any one tile will composite (bounds the per-tile scan).
-    max_chunks_per_tile: int = 64
+    # Max chunks any one tile will composite (bounds per-tile work in BOTH
+    # the Pallas kernel and the jnp spec — they truncate identically).
+    max_chunks_per_tile: int = 128
     # Early termination threshold on transmittance, reference
     # codelets.cpp:405-408.
     transmittance_eps: float = 1e-4
