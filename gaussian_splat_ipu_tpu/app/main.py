@@ -81,6 +81,8 @@ def main(argv=None) -> int:
     aspect = args.width / args.height
     fov = float(np.radians(args.fov))
 
+    # Camera synthesis happens INSIDE the jitted program (state scalars are
+    # traced args): eager per-frame camera math costs more than the render.
     def make_camera(state) -> Camera:
         return Camera.orbit(scene.bb_min, scene.bb_max, state["fov"],
                             aspect, rot_x_deg=state["rx"],
@@ -90,17 +92,20 @@ def main(argv=None) -> int:
 
     use_pallas = args.device == "tpu"
     if args.device == "points":
-        def frame_fn(m, cam):
+        def frame_fn(m, state):
+            cam = make_camera(state)
             out = points_render.render_points(m, cam, cfg)
             return out.image, points_render.tile_histogram(m, cam, cfg)
     else:
-        def frame_fn(m, cam):
+        def frame_fn(m, state):
+            cam = make_camera(state)
             out = render(m, cam, cfg, use_pallas)
             return out.image, out.tile_counts
 
     state0 = {"fov": fov, "rx": 0.0, "ry": 0.0, "x": 0.0, "y": 0.0,
               "z": 0.0}
-    engine.register("project", frame_fn, (model, make_camera(state0)))
+    engine.register("project", frame_fn,
+                    (model, {k: np.float32(v) for k, v in state0.items()}))
     log.info("engine ready: %s", engine.manifest())
 
     ui = None
@@ -130,8 +135,9 @@ def main(argv=None) -> int:
                 state["ry"] = 360.0 * i / nframes
 
             t0 = time.perf_counter()
-            image, counts = engine.run("project", model,
-                                       make_camera(state))
+            image, counts = engine.run(
+                "project", model,
+                {k: np.float32(v) for k, v in state.items()})
             image.block_until_ready()
             dt = time.perf_counter() - t0
             if i % 30 == 0:

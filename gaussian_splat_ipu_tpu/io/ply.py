@@ -138,10 +138,15 @@ def gaussian_fields_from_ply(ply: PlyData):
     channel-major storage order. Field names follow the reference loader
     (src/splat/file_io.cpp:62-77).
     """
+    from gaussian_splat_ipu_tpu.io import native
+
     v = ply["vertex"]
     cols = {n for n, _ in v.properties}
 
     def stack(names):
+        fast = native.stack_f32_columns(v.data, names)
+        if fast is not None:
+            return fast
         return np.stack([v.column(n).astype(np.float32) for n in names], -1)
 
     out = {"means": stack(["x", "y", "z"])}

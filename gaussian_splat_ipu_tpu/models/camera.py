@@ -68,9 +68,12 @@ class Camera:
         (src/main/splat.cpp:186-195, 312-314): lookAtBoundingBox then
         rotate about x and y, then translate.
         """
+        # jnp.radians keeps this traceable: the render loop jits frame
+        # synthesis with the orbit angles as traced scalars, so per-frame
+        # camera math runs on-device instead of as eager host dispatches.
         view = transforms.look_at_bounding_box(bb_min, bb_max, up)
-        view = jnp.dot(view, transforms.rotate_x(np.radians(rot_x_deg)))
-        view = jnp.dot(view, transforms.rotate_y(np.radians(rot_y_deg)))
+        view = jnp.dot(view, transforms.rotate_x(jnp.radians(rot_x_deg)))
+        view = jnp.dot(view, transforms.rotate_y(jnp.radians(rot_y_deg)))
         view = jnp.dot(view, transforms.translate(translation))
         # Project the world bb into eye space for frustum fitting, as the
         # reference does (src/main/splat.cpp:188-195).

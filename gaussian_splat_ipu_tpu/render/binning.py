@@ -127,15 +127,20 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
 
     x0, y0, nx, ny = tile_ranges_of(splats, cfg, row_lo, row_hi)
     ncov = (nx * ny).astype(jnp.int32)
-    offsets = jnp.cumsum(ncov) - ncov          # exclusive
-    total = offsets[-1] + ncov[-1] if n else jnp.int32(0)
 
-    # Expand to pairs. A sentinel gaussian with huge coverage guarantees
-    # jnp.repeat fills the tail of the fixed-capacity table with pad pairs.
+    # Expand to (gaussian, tile) pairs: scatter each gaussian's id at its
+    # first slot, forward-fill with cummax. (The obvious alternatives lower
+    # terribly on TPU: jnp.repeat ~60x and searchsorted-per-slot ~120x
+    # slower than this scatter+scan.) A sentinel gaussian with coverage p
+    # owns the pad tail.
     ncov_ext = jnp.concatenate([ncov, jnp.array([p], jnp.int32)])
-    gid = jnp.repeat(jnp.arange(n + 1, dtype=jnp.int32), ncov_ext,
-                     total_repeat_length=p)
-    offsets_ext = jnp.concatenate([offsets, total[None]])
+    ends_cum = jnp.cumsum(ncov_ext)
+    offsets_ext = ends_cum - ncov_ext          # exclusive
+    total = ends_cum[-2] if n else jnp.int32(0)
+    first_slot = jnp.where(ncov_ext > 0, offsets_ext, p)  # drop empties
+    gid_at = jnp.zeros((p,), jnp.int32).at[first_slot].max(
+        jnp.arange(n + 1, dtype=jnp.int32), mode="drop")
+    gid = jax.lax.cummax(gid_at)
     rank = jnp.arange(p, dtype=jnp.int32) - offsets_ext[gid]
     is_pad = gid >= n
     g = jnp.minimum(gid, n - 1)
@@ -146,18 +151,12 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
     # Pad sentinel sorts after every real (and phantom-row) tile id.
     pad_tile = jnp.int32(1 << 30)
     tile = jnp.where(is_pad, pad_tile, ty * ntx + tx)
-    depth = jnp.where(is_pad, jnp.float32(jnp.inf), splats.depth[g])
-
-    # Lexicographic (tile, depth) sort; stable, carries the gaussian id.
-    tile_s, depth_s, gid_s = jax.lax.sort((tile, depth, g), num_keys=2)
-    pad_s = tile_s >= num_tiles
-
-    tids = row_lo * ntx + jnp.arange(num_local, dtype=jnp.int32)
-    starts = jnp.searchsorted(tile_s, tids, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(tile_s, tids, side="right").astype(jnp.int32)
 
     # Per-gaussian packed rows (N+1, 16); row N stays zero for pad pairs, so
-    # padding renders as alpha=0 and a garbage-free conic.
+    # padding renders as alpha=0 and a garbage-free conic. Expanded to the
+    # (P, 16) pair table BEFORE the sort: pre-sort gid is ascending, so this
+    # gather is sequential, and the columns then ride the radix sorts as
+    # carried values (cheaper than a shuffled post-sort gather).
     c = cfg.chunk_size
     body = jnp.concatenate([
         splats.xy, splats.conic, splats.color,
@@ -166,16 +165,38 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
     ], axis=-1)                                   # (N, 16)
     packed = jnp.concatenate(
         [body, jnp.zeros((1, NUM_FEATURES), jnp.float32)])
+    gid_pre = jnp.where(is_pad, n, gid)
+    table = packed[gid_pre]                       # (P, 16), ascending gather
 
-    gid_pad = jnp.where(pad_s, n, gid_s)
-    table = packed[gid_pad]                       # (P, 16) one row-gather
+    # Depth as raw sort bits: view-space depth is positive for every binned
+    # pair, so the f32 bit pattern is order-isomorphic as an i32 — and
+    # single-key i32 sorts hit XLA:TPU's radix fast path (~100x faster than
+    # the comparator path a multi-key f32 sort takes).
+    depth_bits = jnp.where(
+        is_pad, jnp.int32(0x7FFFFFFF),
+        jax.lax.bitcast_convert_type(table[:, FEAT_DEPTH], jnp.int32))
+
+    # Lexicographic (tile, depth) via two stable single-key radix passes:
+    # sort by the secondary key (depth) first, then by the primary (tile).
+    cols = [table[:, i] for i in range(NUM_FEATURES)]
+    pass1 = jax.lax.sort(tuple([depth_bits, tile, gid_pre] + cols),
+                         num_keys=1)
+    pass2 = jax.lax.sort(tuple(pass1[1:]), num_keys=1)
+    tile_s, gid_s = pass2[0], pass2[1]
+    pad_s = tile_s >= num_tiles
+
+    tids = row_lo * ntx + jnp.arange(num_local, dtype=jnp.int32)
+    starts = jnp.searchsorted(tile_s, tids, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(tile_s, tids, side="right").astype(jnp.int32)
+
     feats = jnp.concatenate(
-        [table, jnp.zeros((c, NUM_FEATURES), jnp.float32)]).T  # (16, P+C)
+        [jnp.stack(pass2[2:], axis=0),
+         jnp.zeros((NUM_FEATURES, c), jnp.float32)], axis=1)  # (16, P+C)
 
     overflow = jnp.maximum(total - p, 0)
     return BinnedSplats(
         features=feats,
-        pair_gid=gid_pad.astype(jnp.int32),
+        pair_gid=jnp.where(pad_s, n, gid_s).astype(jnp.int32),
         tile_starts=starts,
         tile_ends=ends,
         num_pairs=jnp.minimum(total, p),

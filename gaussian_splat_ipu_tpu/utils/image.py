@@ -19,6 +19,10 @@ def to_uint8(image: np.ndarray, exposure: float = 1.0,
              gamma: float = 1.0) -> np.ndarray:
     """f32 [0,1]-ish image -> u8, with optional exposure/gamma (the two
     tone controls the reference UI exposes, InterfaceServer.hpp:230-244)."""
+    from gaussian_splat_ipu_tpu.io import native
+    fast = native.to_uint8(np.asarray(image, np.float32), exposure, gamma)
+    if fast is not None:
+        return fast
     img = np.asarray(image, np.float32) * exposure
     if gamma != 1.0:
         img = np.power(np.clip(img, 0.0, None), 1.0 / gamma)
