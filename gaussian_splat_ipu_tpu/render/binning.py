@@ -119,6 +119,10 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
         row_lo = 0
         num_rows = cfg.tiles_y
     assert num_rows is not None
+    # Packed-geometry bit budget (12/12/7) and the float-division floor
+    # proof below both need bounded footprints/axes.
+    assert cfg.max_tiles_per_axis <= 64 and cfg.tiles_x <= 4096 \
+        and cfg.tiles_y <= 4096
     num_local = num_rows * ntx
     row_lo = jnp.asarray(row_lo, jnp.int32)
     # Uneven row sharding leaves phantom rows past the grid on the last
@@ -128,26 +132,44 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
     x0, y0, nx, ny = tile_ranges_of(splats, cfg, row_lo, row_hi)
     ncov = (nx * ny).astype(jnp.int32)
 
-    # Expand to (gaussian, tile) pairs: scatter each gaussian's id at its
-    # first slot, forward-fill with cummax. (The obvious alternatives lower
-    # terribly on TPU: jnp.repeat ~60x and searchsorted-per-slot ~120x
-    # slower than this scatter+scan.) A sentinel gaussian with coverage p
-    # owns the pad tail.
+    # Expand to (gaussian, tile) pairs: scatter each gaussian's id (and its
+    # first slot) at that slot, forward-fill both with cummax — two radix-
+    # friendly scans, no division, no binary search. (The obvious
+    # alternatives lower terribly on TPU: jnp.repeat ~60x and
+    # searchsorted-per-slot ~120x slower.) A sentinel gaussian with
+    # coverage p owns the pad tail.
     ncov_ext = jnp.concatenate([ncov, jnp.array([p], jnp.int32)])
     ends_cum = jnp.cumsum(ncov_ext)
     offsets_ext = ends_cum - ncov_ext          # exclusive
     total = ends_cum[-2] if n else jnp.int32(0)
     first_slot = jnp.where(ncov_ext > 0, offsets_ext, p)  # drop empties
-    gid_at = jnp.zeros((p,), jnp.int32).at[first_slot].max(
-        jnp.arange(n + 1, dtype=jnp.int32), mode="drop")
+    iota_n = jnp.arange(n + 1, dtype=jnp.int32)
+    gid_at = jnp.zeros((p,), jnp.int32).at[first_slot].max(iota_n,
+                                                           mode="drop")
     gid = jax.lax.cummax(gid_at)
-    rank = jnp.arange(p, dtype=jnp.int32) - offsets_ext[gid]
+    # Segment start per slot, same trick (both fills are monotonic).
+    seg_at = jnp.zeros((p,), jnp.int32).at[first_slot].max(
+        jnp.minimum(first_slot, p - 1), mode="drop")
+    slot = jnp.arange(p, dtype=jnp.int32)
+    rank = slot - jax.lax.cummax(seg_at)
     is_pad = gid >= n
     g = jnp.minimum(gid, n - 1)
 
-    nx_g = jnp.maximum(nx[g], 1)
-    tx = x0[g] + rank % nx_g
-    ty = y0[g] + rank // nx_g
+    # One packed per-gaussian geometry gather instead of three: x0/y0 need
+    # <=12 bits each (4096-tile axes), nx 5 bits.
+    geom = jnp.where(ncov > 0, x0 | (y0 << 12) | (nx << 24), 0)
+    geom_g = geom[g]
+    gx0 = geom_g & 0xFFF
+    gy0 = (geom_g >> 12) & 0xFFF
+    gnx = jnp.maximum(geom_g >> 24, 1)
+    # rank -> (dx, dy) within the coverage rectangle. rank < 256 and
+    # nx <= 16 make float32 division floor-exact (divides of small exact
+    # ints err <0.5ulp << the 1/nx gap to the next integer), and the VPU
+    # has no integer divider — f32 rcp-multiply is the fast path.
+    ty_off = jnp.floor(rank.astype(jnp.float32)
+                       / gnx.astype(jnp.float32)).astype(jnp.int32)
+    tx = gx0 + rank - ty_off * gnx
+    ty = gy0 + ty_off
     # Pad sentinel sorts after every real (and phantom-row) tile id.
     pad_tile = jnp.int32(1 << 30)
     tile = jnp.where(is_pad, pad_tile, ty * ntx + tx)

@@ -37,12 +37,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gaussian_splat_ipu_tpu.render import binning as B
-from gaussian_splat_ipu_tpu.render import tile_raster
 from gaussian_splat_ipu_tpu.utils.config import RasterConfig
 
 
-def _kernel(starts_ref, ends_ref, off_ref, feat_ref, out_ref, chunk_buf,
-            sems, *, cfg: RasterConfig):
+def _kernel(starts_ref, ends_ref, off_ref, feat_ref, out_ref, nc_ref,
+            chunk_buf, sems, *, cfg: RasterConfig):
     lid = pl.program_id(0)           # local tile index within this shard
     tid = off_ref[0] + lid           # global flat tile id (pixel coords)
     c = cfg.chunk_size
@@ -90,11 +89,11 @@ def _kernel(starts_ref, ends_ref, off_ref, feat_ref, out_ref, chunk_buf,
         dma(0, 0).start()
 
     def cond(state):
-        k, _t, _color, stopped = state
+        k, _t, _color, stopped, _sp = state
         return jnp.logical_and(k < nchunks, jnp.min(stopped) < 0.5)
 
     def body(state):
-        k, t, color, stopped = state
+        k, t, color, stopped, stop_pos = state
         slot = jax.lax.rem(k, 2)
         dma(slot, k).wait()
         # One small (16, C) -> (C, 16) transpose per chunk puts gaussian
@@ -146,6 +145,12 @@ def _kernel(starts_ref, ends_ref, off_ref, feat_ref, out_ref, chunk_buf,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)       # (3, NPIX)
         t = t * jnp.exp(jnp.sum(log1ma * live, axis=0, keepdims=True))
+        # Track the first trigger's global pair index per pixel: the
+        # backward kernel replays compositing up to (excluding) it.
+        trig_pos = jnp.where(trig > 0.0, pos.astype(jnp.float32),
+                             jnp.float32(3e38))
+        stop_pos = jnp.minimum(stop_pos, jnp.min(trig_pos, axis=0,
+                                                 keepdims=True))
         # A pixel that triggered anywhere in this chunk never resumes.
         stopped = jnp.maximum(stopped, jnp.max(trig, axis=0, keepdims=True))
 
@@ -154,19 +159,26 @@ def _kernel(starts_ref, ends_ref, off_ref, feat_ref, out_ref, chunk_buf,
         def _():
             dma(jax.lax.rem(k + 1, 2), k + 1).start()
 
-        return k + 1, t, color, stopped
+        return k + 1, t, color, stopped, stop_pos
 
     t0 = jnp.ones((1, npix), jnp.float32)
     color0 = jnp.zeros((3, npix), jnp.float32)
     stopped0 = jnp.zeros((1, npix), jnp.float32)
-    k, t, color, _ = jax.lax.while_loop(cond, body,
-                                        (jnp.int32(0), t0, color0, stopped0))
+    sp0 = jnp.full((1, npix), 3e38, jnp.float32)
+    k, t, color, _, stop_pos = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t0, color0, stopped0, sp0))
 
     # Background as python-float constants (a jnp const would be captured).
     for ch in range(3):
         out_ref[0, ch:ch + 1, :] = (color[ch:ch + 1, :]
                                     + t * cfg.background[ch])
     out_ref[0, 3:4, :] = 1.0 - t
+    # Contributor count (pairs from `start`, trigger excluded — the spec
+    # breaks BEFORE blending, reference codelets.cpp:405-408). f32 is exact:
+    # pair indices < 2^24.
+    end_f = end.astype(jnp.float32)
+    nc_ref[0, 0:1, :] = (jnp.minimum(stop_pos, end_f)
+                         - start.astype(jnp.float32))
 
 
 def _pallas_forward(features, starts, ends, offset, cfg: RasterConfig,
@@ -186,8 +198,12 @@ def _pallas_forward(features, starts, ends, offset, cfg: RasterConfig,
         num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, 4, npix), lambda i, s, e, o: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=[
+            pl.BlockSpec((1, 4, npix), lambda i, s, e, o: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, npix), lambda i, s, e, o: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         scratch_shapes=[
             pltpu.VMEM((2, B.NUM_FEATURES, c), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -198,7 +214,10 @@ def _pallas_forward(features, starts, ends, offset, cfg: RasterConfig,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, 4, npix), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, 4, npix), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 1, npix), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
@@ -207,6 +226,200 @@ def _pallas_forward(features, starts, ends, offset, cfg: RasterConfig,
             transcendentals=3 * npix * c * num_tiles),
         interpret=interpret,
     )(starts, ends, offset, feats)
+
+
+def _bwd_kernel(starts_ref, ends_ref, off_ref, feat_ref, gout_ref, tn_ref,
+                nc_ref, dinit_ref, dfeat_ref, fbuf, gbuf, sems, *,
+                cfg: RasterConfig):
+    """Backward rasterize: per-pair feature gradients, back-to-front.
+
+    Replays each tile's depth range in REVERSE chunk order, reconstructing
+    the per-gaussian transmittance from the saved final value
+    (T_i = T_end * exp(suffix-sum log(1-a))) instead of storing the forward
+    intermediates — O(pixels) memory against the jnp spec's O(pixels*pairs)
+    (the standard 3DGS backward recurrence, re-derived for chunked MXU
+    suffix scans). dL/d(alpha_i) = T_i*(c_i.u) - (sigma_i + gT*T_n)/(1-a_i)
+    where sigma_i suffix-accumulates a_j T_j (c_j.u). Geometry gradients
+    come from pixel-basis moments: one (C, NPIX) x (NPIX, 6) matmul per
+    chunk yields every sum the conic/mean chain rule needs.
+
+    Gradients accumulate into dfeat via read-modify-write chunk DMAs; the
+    1D grid is sequential ('arbitrary'), so the boundary chunk shared by two
+    adjacent tiles is read after the previous tile's write completes.
+    """
+    del dinit_ref  # aliased zero-init of dfeat_ref
+    lid = pl.program_id(0)
+    tid = off_ref[0] + lid
+    c = cfg.chunk_size
+    npix = cfg.pixels_per_tile
+    ntx = cfg.tiles_x
+
+    start = starts_ref[lid]
+    end = jnp.minimum(ends_ref[lid], start + cfg.max_chunks_per_tile * c)
+    base = (start // c) * c
+    nchunks = pl.cdiv(end - base, c)
+
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, npix), 1)
+    ox = (tid % ntx) * cfg.tile_width
+    oy = (tid // ntx) * cfg.tile_height
+    px = (idx % cfg.tile_width + ox).astype(jnp.float32)
+    py = (idx // cfg.tile_width + oy).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    u_incl = jnp.where(col >= row, 1.0, 0.0)   # inclusive suffix sum
+    u_strict = jnp.where(col > row, 1.0, 0.0)  # strict suffix sum
+
+    u = gout_ref[0, 0:3, :]                     # dL/dC (3, NPIX)
+    g_a = gout_ref[0, 3:4, :]                   # dL/d(alpha out)
+    t_n = tn_ref[0]                             # (1, NPIX) final T
+    bg = cfg.background
+    g_t = (bg[0] * u[0:1] + bg[1] * u[1:2] + bg[2] * u[2:3]) - g_a
+    g_tn = g_t * t_n                            # (1, NPIX)
+    live_limit = start.astype(jnp.float32) + nc_ref[0]  # (1, NPIX)
+
+    def fdma(k):
+        off = pl.multiple_of(base + k * c, c)
+        return pltpu.make_async_copy(feat_ref.at[:, pl.ds(off, c)], fbuf,
+                                     sems.at[0])
+
+    def gdma_read(k):
+        off = pl.multiple_of(base + k * c, c)
+        return pltpu.make_async_copy(dfeat_ref.at[:, pl.ds(off, c)], gbuf,
+                                     sems.at[1])
+
+    def gdma_write(k):
+        off = pl.multiple_of(base + k * c, c)
+        return pltpu.make_async_copy(gbuf, dfeat_ref.at[:, pl.ds(off, c)],
+                                     sems.at[2])
+
+    hp = dict(preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.HIGHEST)
+
+    def body(j, carry):
+        t_carry, sigma = carry                  # T after / suffix q beyond
+        k = nchunks - 1 - j
+        fdma(k).start()
+        gdma_read(k).start()
+        fdma(k).wait()
+        gdma_read(k).wait()
+        chunk = fbuf[...].T                     # (C, 16)
+
+        pos = base + k * c + lane
+        valid = (pos >= start) & (pos < end)
+        gx = chunk[:, B.FEAT_X:B.FEAT_X + 1]
+        gy = chunk[:, B.FEAT_Y:B.FEAT_Y + 1]
+        ca = chunk[:, B.FEAT_CONIC_A:B.FEAT_CONIC_A + 1]
+        cb = chunk[:, B.FEAT_CONIC_B:B.FEAT_CONIC_B + 1]
+        cc = chunk[:, B.FEAT_CONIC_C:B.FEAT_CONIC_C + 1]
+        op = chunk[:, B.FEAT_OPACITY:B.FEAT_OPACITY + 1]
+        rgb = chunk[:, B.FEAT_R:B.FEAT_B + 1]   # (C, 3)
+
+        dx = gx - px
+        dy = gy - py
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        a_raw = op * jnp.exp(power)
+        alpha = jnp.minimum(cfg.alpha_clamp, a_raw)
+        skip = ((power > 0.0) | (alpha < cfg.alpha_min)
+                | jnp.logical_not(valid))
+        alpha = jnp.where(skip, 0.0, alpha)
+        live = pos.astype(jnp.float32) < live_limit        # (C, NPIX)
+        a_eff = jnp.where(live, alpha, 0.0)
+
+        log1ma = jnp.log1p(-a_eff)
+        s_incl = jax.lax.dot_general(u_incl, log1ma,
+                                     (((1,), (0,)), ((), ())), **hp)
+        t_i = t_carry * jnp.exp(-s_incl)                   # (C, NPIX)
+        cu = jax.lax.dot_general(rgb, u, (((1,), (0,)), ((), ())), **hp)
+        w = a_eff * t_i
+        q = w * cu
+        sig = jax.lax.dot_general(u_strict, q,
+                                  (((1,), (0,)), ((), ())), **hp) + sigma
+
+        d_alpha = jnp.where(
+            a_eff > 0.0,
+            t_i * cu - (sig + g_tn) / (1.0 - a_eff), 0.0)
+        unclamped = jnp.where(a_raw < cfg.alpha_clamp, 1.0, 0.0)
+        dpow = d_alpha * a_eff * unclamped                 # (C, NPIX)
+
+        # Pixel sums the conic/mean chain rule needs. Direct elementwise
+        # products + lane reductions: expanding these as (C,NPIX)@(NPIX,6)
+        # pixel-basis moments is one MXU matmul but catastrophically
+        # cancels in f32 (px^2 ~ 1e6 at 720p vs dx ~ 1).
+        def rsum(x):
+            return jnp.sum(x, axis=1, keepdims=True)       # (C, 1)
+
+        m1 = rsum(dpow)
+        sdx = rsum(dpow * dx)
+        sdy = rsum(dpow * dy)
+        sdxx = rsum(dpow * dx * dx)
+        sdyy = rsum(dpow * dy * dy)
+        sdxy = rsum(dpow * dx * dy)
+
+        d_rgb = jax.lax.dot_general(w, u, (((1,), (1,)), ((), ())),
+                                    **hp)                  # (C, 3)
+        grow = jnp.concatenate([
+            -(ca * sdx + cb * sdy),                        # d mean x
+            -(cc * sdy + cb * sdx),                        # d mean y
+            -0.5 * sdxx,                                   # d conic a
+            -sdxy,                                         # d conic b
+            -0.5 * sdyy,                                   # d conic c
+            d_rgb,                                         # d colour
+            m1 / jnp.maximum(op, cfg.alpha_min),           # d opacity
+            jnp.zeros((c, B.NUM_FEATURES - 9), jnp.float32),
+        ], axis=1)                                         # (C, 16)
+
+        gbuf[...] = gbuf[...] + grow.T
+        gdma_write(k).start()
+        gdma_write(k).wait()
+
+        t_carry = t_carry * jnp.exp(-jnp.sum(log1ma, axis=0, keepdims=True))
+        sigma = sigma + jnp.sum(q, axis=0, keepdims=True)
+        return t_carry, sigma
+
+    t0 = t_n
+    sigma0 = jnp.zeros((1, npix), jnp.float32)
+    jax.lax.fori_loop(0, nchunks, body, (t0, sigma0))
+
+
+def _pallas_backward(features, starts, ends, offset, gout, tn, nc,
+                     cfg: RasterConfig, interpret: bool):
+    c = cfg.chunk_size
+    npix = cfg.pixels_per_tile
+    num_tiles = starts.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),                  # features
+            pl.BlockSpec((1, 4, npix), lambda i, s, e, o: (i, 0, 0),
+                         memory_space=pltpu.VMEM),              # gout
+            pl.BlockSpec((1, 1, npix), lambda i, s, e, o: (i, 0, 0),
+                         memory_space=pltpu.VMEM),              # t_n
+            pl.BlockSpec((1, 1, npix), lambda i, s, e, o: (i, 0, 0),
+                         memory_space=pltpu.VMEM),              # n_contrib
+            pl.BlockSpec(memory_space=pl.ANY),                  # dfeat init
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((B.NUM_FEATURES, c), jnp.float32),
+            pltpu.VMEM((B.NUM_FEATURES, c), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    kernel = functools.partial(_bwd_kernel, cfg=cfg)
+    dinit = jnp.zeros_like(features)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(features.shape, jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),  # sequential grid: RMW-safe
+            vmem_limit_bytes=64 * 1024 * 1024),
+        input_output_aliases={7: 0},  # dfeat starts as the zeros input
+        interpret=interpret,
+    )(starts, ends, offset, features, gout, tn, nc, dinit)
 
 
 def rasterize_tiles(binned: B.BinnedSplats, cfg: RasterConfig,
@@ -218,11 +431,11 @@ def rasterize_tiles(binned: B.BinnedSplats, cfg: RasterConfig,
     ok) — the distributed path renders a strip of tiles per device; the
     single-device path leaves it None (= 0, all tiles).
 
-    Forward runs the Pallas kernel; backward (via jax.custom_vjp) is the
-    autodiff of the mathematically-identical jnp formulation
-    (render/tile_raster.py) — same chunk math, so gradients are exact for
-    the Pallas output too. Dedicated backward kernels replace this once
-    profiled (see render/kernels/rasterize_vjp.py plan).
+    Forward and backward are both Pallas kernels (jax.custom_vjp); the jnp
+    formulation (render/tile_raster.py) is the mathematical spec both are
+    tested against. The forward additionally emits per-pixel contributor
+    counts + final transmittance, from which the backward reconstructs every
+    intermediate in reverse order with O(pixels) memory.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -235,24 +448,22 @@ def rasterize_tiles(binned: B.BinnedSplats, cfg: RasterConfig,
 
     @jax.custom_vjp
     def raster(features, starts, ends, offset):
-        tiles = _pallas_forward(features, starts, ends, offset, cfg,
-                                interpret)
+        tiles, _ = _pallas_forward(features, starts, ends, offset, cfg,
+                                   interpret)
         return tiles.transpose(0, 2, 1)  # (T_local, NPIX, 4)
 
     def raster_fwd(features, starts, ends, offset):
-        return (raster(features, starts, ends, offset),
-                (features, starts, ends, offset))
+        tiles, nc = _pallas_forward(features, starts, ends, offset, cfg,
+                                    interpret)
+        t_n = 1.0 - tiles[:, 3:4, :]
+        return tiles.transpose(0, 2, 1), (features, starts, ends, offset,
+                                          t_n, nc)
 
     def raster_bwd(res, g):
-        features, starts, ends, offset = res
-        fake = B.BinnedSplats(features=features, pair_gid=None,
-                              tile_starts=starts, tile_ends=ends,
-                              num_pairs=None, overflow=None)
-        _, vjp = jax.vjp(
-            lambda f: tile_raster.rasterize_tiles_jnp(
-                fake._replace(features=f), cfg, tile_offset=offset[0]),
-            features)
-        (df,) = vjp(g)
+        features, starts, ends, offset, t_n, nc = res
+        gout = g.transpose(0, 2, 1)  # (T_local, 4, NPIX)
+        df = _pallas_backward(features, starts, ends, offset, gout, t_n,
+                              nc, cfg, interpret)
         return df, None, None, None
 
     raster.defvjp(raster_fwd, raster_bwd)

@@ -117,6 +117,11 @@ def rasterize_tiles_jnp(binned: B.BinnedSplats, cfg: RasterConfig,
         px = lx + ox
         py = ly + oy
 
+        # Rematerialised: without this, reverse-mode saves the (NPIX, C)
+        # alpha/transmittance intermediates of every chunk of every tile
+        # (hundreds of GB at 720p); with it, backward memory is just the
+        # (NPIX,) carries.
+        @jax.checkpoint
         def step(carry, k):
             t, color, stopped = carry
             idx = start + k * c
