@@ -98,8 +98,10 @@ def render_sharded(model: GaussianModel, camera: Camera, cfg: RasterConfig,
     rows = _rows_per_device(cfg, d)
     nloc = rows * cfg.tiles_x
     if pair_capacity is None:
-        # Per-device pair budget: an even share plus 2x imbalance slack.
+        # Per-device pair budget: an even share plus 2x imbalance slack,
+        # rounded up to a chunk multiple (binning requires alignment).
         pair_capacity = max(2 * cfg.pair_capacity // d, 4 * cfg.chunk_size)
+    pair_capacity = -(-pair_capacity // cfg.chunk_size) * cfg.chunk_size
 
     def shard_fn(model_shard, camera_rep):
         sp_local = project_gaussians(model_shard, camera_rep, cfg)

@@ -31,13 +31,14 @@ import jax.numpy as jnp
 from gaussian_splat_ipu_tpu.render.projection import ProjectedSplats
 from gaussian_splat_ipu_tpu.utils.config import RasterConfig
 
-# Rows of the packed feature-major (16, P + C) pair table handed to the
+# Rows of the feature-major (TABLE_ROWS, P) pair table handed to the
 # rasterizer. Feature-major because Mosaic DMA slices must be 128-aligned
-# along the minor dimension: a (16, C=128) chunk slice satisfies that; the
-# kernel floor-aligns each tile's start offset to the chunk size and masks
-# the leading overlap. Built with a single row-gather from a per-gaussian
-# (N+1, 16) matrix — element-wise gathers per feature cost ~5x the sort on
-# TPU, one 64-byte row gather does not.
+# along the minor (lane) dimension: a (TABLE_ROWS, C=128) chunk slice of a
+# P-minor array satisfies that (P is chunk-aligned, so the floor-aligned
+# walk never overruns), whereas any pair-major layout would need the
+# feature count itself padded to 128 lanes. Only the NUM_FEATURES live
+# rows ride the radix sorts; rows [NUM_FEATURES, TABLE_ROWS) are a zero
+# block appended afterwards to satisfy the 8-sublane tiling.
 FEAT_X = 0
 FEAT_Y = 1
 FEAT_CONIC_A = 2
@@ -48,7 +49,8 @@ FEAT_G = 6
 FEAT_B = 7
 FEAT_OPACITY = 8
 FEAT_DEPTH = 9
-NUM_FEATURES = 16
+NUM_FEATURES = 10
+TABLE_ROWS = 16
 
 
 class BinnedSplats(NamedTuple):
@@ -59,7 +61,7 @@ class BinnedSplats(NamedTuple):
     floor-aligned chunk DMA ending past the last live pair stays in bounds.
     """
 
-    features: jnp.ndarray    # (NUM_FEATURES, P+C) f32, sorted (tile, depth)
+    features: jnp.ndarray    # (TABLE_ROWS, P) f32, sorted (tile, depth)
     pair_gid: jnp.ndarray    # (P,) i32 gaussian index per pair (N for pad)
     tile_starts: jnp.ndarray  # (T,) i32
     tile_ends: jnp.ndarray   # (T,) i32
@@ -179,12 +181,13 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
     # (P, 16) pair table BEFORE the sort: pre-sort gid is ascending, so this
     # gather is sequential, and the columns then ride the radix sorts as
     # carried values (cheaper than a shuffled post-sort gather).
-    c = cfg.chunk_size
+    # Chunk-aligned capacity means the last tile's floor-aligned chunk walk
+    # never overruns the table — no extra pad column block needed.
+    assert p % cfg.chunk_size == 0, "pair_capacity must be chunk-aligned"
     body = jnp.concatenate([
         splats.xy, splats.conic, splats.color,
         splats.opacity[:, None], splats.depth[:, None],
-        jnp.zeros((n, NUM_FEATURES - 10), jnp.float32),
-    ], axis=-1)                                   # (N, 16)
+    ], axis=-1)                                   # (N, 10)
     packed = jnp.concatenate(
         [body, jnp.zeros((1, NUM_FEATURES), jnp.float32)])
     gid_pre = jnp.where(is_pad, n, gid)
@@ -213,7 +216,8 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
 
     feats = jnp.concatenate(
         [jnp.stack(pass2[2:], axis=0),
-         jnp.zeros((NUM_FEATURES, c), jnp.float32)], axis=1)  # (16, P+C)
+         jnp.zeros((TABLE_ROWS - NUM_FEATURES, p), jnp.float32)],
+        axis=0)                                   # (TABLE_ROWS, P)
 
     overflow = jnp.maximum(total - p, 0)
     return BinnedSplats(

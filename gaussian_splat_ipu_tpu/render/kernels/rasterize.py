@@ -22,9 +22,10 @@ VPU/MXU instead of translated:
     is proportional to its own occupancy, which is the fix for the load
     imbalance the reference documents as its hard problem (README.md:14-17).
 
-Layout invariants (see render/binning.py): features are (P + C, 16)
-row-major so every chunk DMA is contiguous; gaussian params are (C, 1)
-column slices broadcast against (1, NPIX) pixel rows — zero transposes.
+Layout invariants (see render/binning.py): features are feature-major
+(NUM_FEATURES, P) with P chunk-aligned so every chunk DMA is a 128-aligned
+contiguous slice; gaussian params become (C, 1) column slices broadcast
+against (1, NPIX) pixel rows after one small per-chunk transpose.
 """
 
 from __future__ import annotations
@@ -96,9 +97,9 @@ def _kernel(starts_ref, ends_ref, off_ref, feat_ref, out_ref, nc_ref,
         k, t, color, stopped, stop_pos = state
         slot = jax.lax.rem(k, 2)
         dma(slot, k).wait()
-        # One small (16, C) -> (C, 16) transpose per chunk puts gaussian
-        # params on sublanes as (C, 1) columns; pixels stay on lanes.
-        chunk = chunk_buf[slot].T                     # (C, 16)
+        # One small (TABLE_ROWS, C) -> (C, TABLE_ROWS) transpose per chunk
+        # puts gaussians on sublanes as (C, 1) columns; pixels on lanes.
+        chunk = chunk_buf[slot].T                     # (C, TABLE_ROWS)
 
         pos = base + k * c + lane                     # (C, 1)
         valid = (pos >= start) & (pos < end)
@@ -205,7 +206,7 @@ def _pallas_forward(features, starts, ends, offset, cfg: RasterConfig,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, B.NUM_FEATURES, c), jnp.float32),
+            pltpu.VMEM((2, B.TABLE_ROWS, c), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -279,32 +280,39 @@ def _bwd_kernel(starts_ref, ends_ref, off_ref, feat_ref, gout_ref, tn_ref,
     g_tn = g_t * t_n                            # (1, NPIX)
     live_limit = start.astype(jnp.float32) + nc_ref[0]  # (1, NPIX)
 
-    def fdma(k):
+    def fdma(slot, k):
         off = pl.multiple_of(base + k * c, c)
-        return pltpu.make_async_copy(feat_ref.at[:, pl.ds(off, c)], fbuf,
-                                     sems.at[0])
+        return pltpu.make_async_copy(feat_ref.at[:, pl.ds(off, c)],
+                                     fbuf.at[slot], sems.at[slot])
 
     def gdma_read(k):
         off = pl.multiple_of(base + k * c, c)
         return pltpu.make_async_copy(dfeat_ref.at[:, pl.ds(off, c)], gbuf,
-                                     sems.at[1])
+                                     sems.at[2])
 
     def gdma_write(k):
         off = pl.multiple_of(base + k * c, c)
         return pltpu.make_async_copy(gbuf, dfeat_ref.at[:, pl.ds(off, c)],
-                                     sems.at[2])
+                                     sems.at[3])
 
     hp = dict(preferred_element_type=jnp.float32,
               precision=jax.lax.Precision.HIGHEST)
 
+    # Prologue: stage the last chunk (reverse walk starts there).
+    @pl.when(nchunks > 0)
+    def _():
+        fdma(jax.lax.rem(nchunks - 1, 2), nchunks - 1).start()
+
     def body(j, carry):
         t_carry, sigma = carry                  # T after / suffix q beyond
         k = nchunks - 1 - j
-        fdma(k).start()
-        gdma_read(k).start()
-        fdma(k).wait()
-        gdma_read(k).wait()
-        chunk = fbuf[...].T                     # (C, 16)
+        slot = jax.lax.rem(k, 2)
+        fdma(slot, k).wait()
+        # Stage the next (reverse) chunk while this one computes.
+        @pl.when(k > 0)
+        def _():
+            fdma(jax.lax.rem(k - 1, 2), k - 1).start()
+        chunk = fbuf[slot].T                    # (C, TABLE_ROWS)
 
         pos = base + k * c + lane
         valid = (pos >= start) & (pos < end)
@@ -367,12 +375,28 @@ def _bwd_kernel(starts_ref, ends_ref, off_ref, feat_ref, gout_ref, tn_ref,
             -0.5 * sdyy,                                   # d conic c
             d_rgb,                                         # d colour
             m1 / jnp.maximum(op, cfg.alpha_min),           # d opacity
-            jnp.zeros((c, B.NUM_FEATURES - 9), jnp.float32),
-        ], axis=1)                                         # (C, 16)
+            jnp.zeros((c, B.TABLE_ROWS - 9), jnp.float32),
+        ], axis=1)                                         # (C, TABLE_ROWS)
+
+        # Only a tile's FIRST chunk (k == 0, processed last in the reverse
+        # walk) can be shared with the previous tile's range and needs a
+        # read-modify-write; interior chunks are exclusively owned and
+        # written fresh. Sequential grid => the read sees the previous
+        # tile's completed write.
+        @pl.when(k == 0)
+        def _():
+            r = gdma_read(k)
+            r.start()
+            r.wait()
+
+        @pl.when(k != 0)
+        def _():
+            gbuf[...] = jnp.zeros_like(gbuf)
 
         gbuf[...] = gbuf[...] + grow.T
-        gdma_write(k).start()
-        gdma_write(k).wait()
+        w_dma = gdma_write(k)
+        w_dma.start()
+        w_dma.wait()
 
         t_carry = t_carry * jnp.exp(-jnp.sum(log1ma, axis=0, keepdims=True))
         sigma = sigma + jnp.sum(q, axis=0, keepdims=True)
@@ -403,9 +427,9 @@ def _pallas_backward(features, starts, ends, offset, gout, tn, nc,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((B.NUM_FEATURES, c), jnp.float32),
-            pltpu.VMEM((B.NUM_FEATURES, c), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, B.TABLE_ROWS, c), jnp.float32),
+            pltpu.VMEM((B.TABLE_ROWS, c), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     kernel = functools.partial(_bwd_kernel, cfg=cfg)

@@ -32,7 +32,7 @@ def chunk_alphas(chunk: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray,
                  valid: jnp.ndarray, cfg: RasterConfig) -> jnp.ndarray:
     """Evaluate per-(pixel, gaussian) alpha for one feature chunk.
 
-    chunk: (NUM_FEATURES, C); px/py: (NPIX, 1); valid: (C,) bool.
+    chunk: (TABLE_ROWS, C); px/py: (NPIX, 1); valid: (C,) bool.
     Returns (NPIX, C) alpha with all skip rules applied (zero = skip).
     """
     gx = chunk[B.FEAT_X][None, :]
@@ -126,7 +126,7 @@ def rasterize_tiles_jnp(binned: B.BinnedSplats, cfg: RasterConfig,
             t, color, stopped = carry
             idx = start + k * c
             chunk = jax.lax.dynamic_slice(feats, (0, idx),
-                                          (B.NUM_FEATURES, c))
+                                          (B.TABLE_ROWS, c))
             valid = idx + jnp.arange(c, dtype=jnp.int32) < end
             alpha = chunk_alphas(chunk, px, py, valid, cfg)
             rgb = chunk[B.FEAT_R:B.FEAT_B + 1].T  # (C, 3)

@@ -123,7 +123,7 @@ class TestBackwardKernel:
         # Perturb only the colour rows: the output is linear in colour, so
         # central differences are exact there; geometry rows cross skip /
         # clamp / termination thresholds and have no stable FD estimate.
-        mask = jnp.zeros_like(v).at[5:8].set(1.0)
+        mask = jnp.zeros_like(v).at[5:8].set(1.0)  # colour rows
         v = v * mask
         eps = 1e-2
         fd = (float(f(b.features + eps * v))

@@ -82,13 +82,13 @@ def test_pad_pairs_have_zero_opacity():
 
 def test_overflow_counted():
     cfg = RasterConfig(image_width=128, image_height=64, tile_width=32,
-                       tile_height=32, pair_capacity=4, chunk_size=8)
-    # 6 gaussians, one tile each -> demand 6 > capacity 4.
-    xy = [[16.0 + i, 16.0] for i in range(6)]
-    s = make_splats(xy, [1.0] * 6)
+                       tile_height=32, pair_capacity=8, chunk_size=8)
+    # 10 gaussians, one tile each -> demand 10 > capacity 8.
+    xy = [[14.0 + 0.5 * i, 16.0] for i in range(10)]
+    s = make_splats(xy, [1.0] * 10)
     b = binning.bin_splats(s, cfg)
     assert int(b.overflow) == 2
-    assert int(b.num_pairs) == 4
+    assert int(b.num_pairs) == 8
 
 
 def test_offscreen_clamped_to_grid():
