@@ -50,6 +50,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compile cache: repeat bench runs skip the minutes-scale
+    # XLA compiles (the saveExe/loadExe analogue, runtime/engine.py).
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/gsplat_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from gaussian_splat_ipu_tpu.models.camera import Camera
     from gaussian_splat_ipu_tpu.render.pipeline import render
     from gaussian_splat_ipu_tpu.utils.config import RasterConfig

@@ -59,9 +59,11 @@ def _kernel(starts_ref, ends_ref, off_ref, feat_ref, out_ref, nc_ref,
                       start + cfg.max_chunks_per_tile * c)
     # Floor-align the DMA base so every chunk offset is a multiple of C
     # (Mosaic requires 128-aligned lane slices); pairs before `start` in the
-    # first chunk belong to the previous tile and are masked off.
+    # first chunk belong to the previous tile and are masked off. Empty
+    # tiles do no chunk work at all (cdiv alone would still walk the
+    # masked partial chunk containing `start`).
     base = (start // c) * c
-    nchunks = pl.cdiv(end - base, c)
+    nchunks = jnp.where(end > start, pl.cdiv(end - base, c), 0)
 
     # Pixel coordinates of this tile as (1, NPIX) rows, pixels on lanes.
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, npix), 1)
@@ -258,7 +260,7 @@ def _bwd_kernel(starts_ref, ends_ref, off_ref, feat_ref, gout_ref, tn_ref,
     start = starts_ref[lid]
     end = jnp.minimum(ends_ref[lid], start + cfg.max_chunks_per_tile * c)
     base = (start // c) * c
-    nchunks = pl.cdiv(end - base, c)
+    nchunks = jnp.where(end > start, pl.cdiv(end - base, c), 0)
 
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, npix), 1)
     ox = (tid % ntx) * cfg.tile_width
