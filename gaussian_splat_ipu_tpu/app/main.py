@@ -91,21 +91,28 @@ def main(argv=None) -> int:
                                          state["z"]))
 
     use_pallas = args.device == "tpu"
-    if args.device == "points":
-        def frame_fn(m, state):
-            cam = make_camera(state)
-            out = points_render.render_points(m, cam, cfg)
-            return out.image, points_render.tile_histogram(m, cam, cfg)
-    else:
-        def frame_fn(m, state):
-            cam = make_camera(state)
-            out = render(m, cam, cfg, use_pallas)
-            return out.image, out.tile_counts
+
+    def splat_fn(m, state):
+        cam = make_camera(state)
+        out = render(m, cam, cfg, use_pallas)
+        return out.image, out.tile_counts
+
+    def points_fn(m, state):
+        cam = make_camera(state)
+        out = points_render.render_points(m, cam, cfg)
+        return out.image, points_render.tile_histogram(m, cam, cfg)
 
     state0 = {"fov": fov, "rx": 0.0, "ry": 0.0, "x": 0.0, "y": 0.0,
               "z": 0.0}
-    engine.register("project", frame_fn,
-                    (model, {k: np.float32(v) for k, v in state0.items()}))
+    example = (model, {k: np.float32(v) for k, v in state0.items()})
+    # Two switchable programs, parity with the reference's runtime
+    # cpu/ipu device toggle (src/main/splat.cpp:250-256): "project" is the
+    # full splat pipeline, "points" the 1-px positional sanity renderer.
+    engine.register("project",
+                    points_fn if args.device == "points" else splat_fn,
+                    example)
+    if args.ui_port:
+        engine.register("points", points_fn, example)
     log.info("engine ready: %s", engine.manifest())
 
     ui = None
@@ -117,6 +124,7 @@ def main(argv=None) -> int:
     ui_task = AsyncTask()
     image_host = None
     exposure, gamma = 1.0, 1.0
+    program = "project"
     state = dict(state0)
     nframes = max(args.frames, 1)
     interactive = ui is not None and args.frames == 0
@@ -129,6 +137,10 @@ def main(argv=None) -> int:
                 s = ui.consume_state()
                 stop = s.stop
                 exposure, gamma = s.exposure, s.gamma
+                # Runtime render-path toggle (reference "device" packet,
+                # splat.cpp:250-256: cpu = point splats, ipu = full splat).
+                program = ("points" if s.device in ("cpu", "points")
+                           else "project")
                 state.update(fov=s.fov, rx=s.rot_x_deg, ry=s.rot_y_deg,
                              x=s.x, y=s.y, z=s.z)
             elif not interactive:
@@ -136,7 +148,7 @@ def main(argv=None) -> int:
 
             t0 = time.perf_counter()
             image, counts = engine.run(
-                "project", model,
+                program, model,
                 {k: np.float32(v) for k, v in state.items()})
             image.block_until_ready()
             dt = time.perf_counter() - t0

@@ -43,8 +43,12 @@ class RasterConfig:
     # Capacity of the (gaussian, tile) pair table. The reference bounds the
     # analogous resource with fixed 300-slot exchange channels and a
     # keep-local overflow policy (src/splat/ipu_rasteriser.cpp:307-309,
-    # codelets.cpp:487-490); we bound the pair table and drop+count overflow.
-    pair_capacity: int = 1 << 19
+    # codelets.cpp:487-490); we bound the pair table and drop+count
+    # overflow (RenderOutput.overflow — raise this when it is nonzero).
+    # Every binning pass is O(capacity), so headroom costs frame time
+    # linearly; 2^18 is ~2.6x the worst observed demand on the reference
+    # demo scenes at 1280x720.
+    pair_capacity: int = 1 << 18
     # Max tiles a single gaussian may cover per axis (guard band). The
     # reference caps footprints at clipSize=15 tile diagonals
     # (codelets/splat/codelets.cpp:622,470).
