@@ -260,6 +260,11 @@ def _bwd_kernel(starts_ref, ends_ref, off_ref, feat_ref, gout_ref, tn_ref,
     start = starts_ref[lid]
     end = jnp.minimum(ends_ref[lid], start + cfg.max_chunks_per_tile * c)
     base = (start // c) * c
+    # Pairs past the furthest contributor of ANY pixel got zero weight in
+    # the forward (early termination) and have zero gradients: clip the
+    # reverse walk there instead of replaying the occluded tail.
+    max_contrib = jnp.max(nc_ref[0]).astype(jnp.int32)
+    end = jnp.minimum(end, start + max_contrib)
     nchunks = jnp.where(end > start, pl.cdiv(end - base, c), 0)
 
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, npix), 1)
