@@ -138,7 +138,7 @@ def main(argv=None) -> int:
             k = i % args.views
             state, loss = step(state, cameras[k], targets[k])
             i += 1
-        if i % 50 < (args.views if not use_dist else 1) or i >= args.steps:
+        if (i // args.views) % 10 == 0 or i >= args.steps:
             log.info("step %d: loss %.5f", i, float(loss))
     jax.block_until_ready(state.params.means)
     dt = time.perf_counter() - t0
