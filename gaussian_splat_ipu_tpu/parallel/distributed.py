@@ -37,7 +37,7 @@ from jax import shard_map
 
 from gaussian_splat_ipu_tpu.models.camera import Camera
 from gaussian_splat_ipu_tpu.models.gaussians import GaussianModel
-from gaussian_splat_ipu_tpu.parallel.mesh import SHARD_AXIS
+from gaussian_splat_ipu_tpu.parallel.mesh import SHARD_AXIS, VIEW_AXIS
 from gaussian_splat_ipu_tpu.render import binning, tile_raster
 from gaussian_splat_ipu_tpu.render.projection import (ProjectedSplats,
                                                       project_gaussians)
@@ -142,6 +142,106 @@ def render_image_sharded(model, camera, cfg: RasterConfig, mesh,
                          pair_capacity: int | None = None) -> jnp.ndarray:
     return render_sharded(model, camera, cfg, mesh, axis, use_pallas,
                           pair_capacity).image
+
+
+def render_views_sharded(model: GaussianModel, cameras: Camera,
+                         cfg: RasterConfig, mesh,
+                         view_axis: str = VIEW_AXIS,
+                         shard_axis: str = SHARD_AXIS,
+                         use_pallas: bool = True,
+                         pair_capacity: int | None = None) -> jnp.ndarray:
+    """Render a BATCH of views over a 2D (view, shard) mesh.
+
+    cameras: Camera pytree with a leading view dimension V (divisible by
+    the view-axis size); model sharded along N on the shard axis and
+    replicated across view groups. Each view group renders its slice of
+    the batch (data parallelism over frames — the second classic axis,
+    which the reference cannot express at all); within a group the
+    gaussians/tile-rows sharding of render_sharded applies. Returns
+    (V, H, W, 4), view- and tile-row-sharded. Differentiable; the
+    transpose of the view-axis replication psums parameter gradients.
+    """
+    d = mesh.shape[shard_axis]
+    rows = _rows_per_device(cfg, d)
+    nloc_rows_total = rows * d
+    if pair_capacity is None:
+        pair_capacity = max(2 * cfg.pair_capacity // d, 4 * cfg.chunk_size)
+    pair_capacity = -(-pair_capacity // cfg.chunk_size) * cfg.chunk_size
+    cam_treedef = jax.tree_util.tree_structure(
+        jax.tree.map(lambda x: x[0], cameras))
+
+    def shard_fn(model_shard, cams_local_leaves):
+        def one_view(cam_leaves):
+            cam = jax.tree_util.tree_unflatten(cam_treedef, cam_leaves)
+            sp_local = project_gaussians(model_shard, cam, cfg)
+            packed = _pack_splats(sp_local)
+            all_packed = jax.lax.all_gather(packed, shard_axis, axis=0,
+                                            tiled=True)
+            sp = _unpack_splats(all_packed)
+            row_lo = jax.lax.axis_index(shard_axis) * rows
+            binned = binning.bin_splats(sp, cfg, row_lo=row_lo,
+                                        num_rows=rows,
+                                        pair_capacity=pair_capacity)
+            offset = row_lo * cfg.tiles_x
+            if use_pallas:
+                from gaussian_splat_ipu_tpu.render.kernels import rasterize
+                return rasterize.rasterize_tiles(binned, cfg,
+                                                 tile_offset=offset)
+            return tile_raster.rasterize_tiles_jnp(binned, cfg,
+                                                   tile_offset=offset)
+
+        # Sequential over the local view slice: each view already uses the
+        # whole shard group; parallelism across views comes from the mesh.
+        return jax.lax.map(one_view, cams_local_leaves)
+
+    cam_leaves = jax.tree_util.tree_leaves(cameras)
+    tiles = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(shard_axis), P(view_axis)),
+        out_specs=P(view_axis, shard_axis),
+        check_vma=False,
+    )(model, cam_leaves)                  # (V, T_local*d, NPIX, 4)
+
+    return jax.vmap(lambda t: _untile_rows(t, cfg, nloc_rows_total))(tiles)
+
+
+def make_view_batch_train_step(mesh, raster_cfg: RasterConfig,
+                               train_cfg: trainer.TrainConfig,
+                               view_axis: str = VIEW_AXIS,
+                               shard_axis: str = SHARD_AXIS,
+                               use_pallas: bool = True,
+                               pair_capacity: int | None = None):
+    """Jitted train step over a camera/target batch on a (view, shard)
+    mesh: per-view losses averaged across the batch; gradient psum over
+    the view axis falls out of the replication transpose."""
+    tx = trainer.make_optimizer(train_cfg)
+
+    def loss_fn(params, cameras, targets):
+        images = render_views_sharded(params, cameras, raster_cfg, mesh,
+                                      view_axis, shard_axis, use_pallas,
+                                      pair_capacity)
+        losses_v = jax.vmap(
+            lambda im, tg: loss_lib.render_loss(im, tg,
+                                                train_cfg.ssim_weight))(
+            images, targets)
+        return jnp.mean(losses_v)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: trainer.TrainState, cameras, targets):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, cameras,
+                                                  targets)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        params = GaussianModel(
+            means=params.means, log_scales=params.log_scales,
+            quats=params.quats / jnp.maximum(
+                jnp.linalg.norm(params.quats, axis=-1, keepdims=True),
+                1e-8),
+            opacities=params.opacities, sh=params.sh)
+        return trainer.TrainState(params=params, opt_state=opt_state,
+                                  step=state.step + 1), loss
+
+    return step
 
 
 def make_sharded_train_step(mesh, raster_cfg: RasterConfig,

@@ -16,9 +16,11 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-# The single mesh axis: shards gaussians at projection time and framebuffer
-# tile rows at rasterization time (same devices, two roles).
+# The model-parallel mesh axis: shards gaussians at projection time and
+# framebuffer tile rows at rasterization time (same devices, two roles).
 SHARD_AXIS = "shard"
+# The data-parallel mesh axis: shards a batch of camera views (training).
+VIEW_AXIS = "view"
 
 
 def make_mesh(num_devices: int | None = None,
@@ -28,6 +30,23 @@ def make_mesh(num_devices: int | None = None,
     if n > len(devices):
         raise ValueError(f"requested {n} devices, have {len(devices)}")
     return Mesh(np.asarray(devices[:n]), (axis,))
+
+
+def make_mesh_2d(num_views: int, num_shards: int | None = None,
+                 view_axis: str = VIEW_AXIS,
+                 shard_axis: str = SHARD_AXIS) -> Mesh:
+    """(view, shard) mesh: data parallelism over camera views on the outer
+    axis, gaussian/tile-row sharding on the inner (fastest-varying ->
+    highest-bandwidth ICI neighbours carry the all_gather/reduce_scatter
+    of the shard axis; the view axis only moves gradients once)."""
+    devices = jax.devices()
+    if num_shards is None:
+        num_shards = len(devices) // num_views
+    n = num_views * num_shards
+    if n > len(devices):
+        raise ValueError(f"requested {n} devices, have {len(devices)}")
+    grid = np.asarray(devices[:n]).reshape(num_views, num_shards)
+    return Mesh(grid, (view_axis, shard_axis))
 
 
 def gaussian_sharding(mesh: Mesh, axis: str = SHARD_AXIS) -> NamedSharding:

@@ -32,9 +32,12 @@ def psnr(pred: jnp.ndarray, target: jnp.ndarray,
 
 @functools.lru_cache(maxsize=8)
 def _gaussian_window(size: int, sigma: float):
-    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
-    g = jnp.exp(-(x * x) / (2.0 * sigma * sigma))
-    return g / jnp.sum(g)
+    # Pure numpy, not jnp: an lru_cache populated inside a trace would
+    # memoise a tracer (leak); a numpy constant is safe across traces.
+    import numpy as np
+    x = np.arange(size, dtype=np.float32) - (size - 1) / 2.0
+    g = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    return g / np.sum(g)
 
 
 def _blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
@@ -45,6 +48,7 @@ def _blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     """
     c = img.shape[-1]
     x = img[None].transpose(0, 3, 1, 2)  # (1, C, H, W)
+    window = jnp.asarray(window)         # cached numpy -> device constant
     kh = jnp.tile(window[None, None, :, None], (c, 1, 1, 1))
     kw = jnp.tile(window[None, None, None, :], (c, 1, 1, 1))
     dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape,
