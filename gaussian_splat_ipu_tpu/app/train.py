@@ -50,6 +50,14 @@ def parse_args(argv=None):
                    help="write trained scene as standard 3DGS PLY")
     p.add_argument("--distributed", action="store_true",
                    help="shard over all local devices (parallel/)")
+    p.add_argument("--densify", action="store_true",
+                   help="adaptive density control (split/clone/prune)")
+    p.add_argument("--capacity", type=int, default=0,
+                   help="--densify: slot-buffer capacity (0 = 2x init)")
+    p.add_argument("--densify-every", type=int, default=100)
+    p.add_argument("--densify-grad-threshold", type=float, default=2e-4)
+    p.add_argument("--densify-from", type=int, default=500)
+    p.add_argument("--densify-until", type=int, default=15_000)
     return p.parse_args(argv)
 
 
@@ -93,8 +101,29 @@ def main(argv=None) -> int:
 
     tc = trainer.TrainConfig(ssim_weight=args.ssim_weight,
                              scene_extent=extent)
-    use_dist = args.distributed and len(jax.devices()) > 1
-    if use_dist:
+    use_dist = (args.distributed and len(jax.devices()) > 1
+                and not args.densify)
+    if args.densify and args.distributed:
+        log.warning("--densify runs single-device; ignoring --distributed")
+    dstate = None
+    if args.densify:
+        from gaussian_splat_ipu_tpu.train import densify as densify_lib
+        n0 = model.num_gaussians
+        capacity = args.capacity or 2 * n0
+        dcfg = densify_lib.DensifyConfig(
+            grad_threshold=args.densify_grad_threshold,
+            densify_every=max(args.densify_every // args.views, 1)
+            * args.views,  # events land on epoch boundaries
+            densify_from_step=args.densify_from,
+            densify_until_step=args.densify_until,
+            scene_extent=extent)
+        dstate = densify_lib.init_state(n0, capacity)
+        state = trainer.init_state(densify_lib.pad_model(model, capacity),
+                                   tc)
+        step = None
+        log.info("density control on: %d init gaussians, capacity %d",
+                 n0, capacity)
+    elif use_dist:
         from gaussian_splat_ipu_tpu.parallel import (distributed,
                                                      mesh as meshlib)
         mesh = meshlib.make_mesh()
@@ -113,24 +142,54 @@ def main(argv=None) -> int:
     # devices) would otherwise dwarf the ~20 ms step itself.
     cams_stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *cameras)
     targets_stacked = jnp.stack(targets)
+    cam_treedef = jax.tree_util.tree_structure(cameras[0])
+    cam_leaves_stacked = jax.tree_util.tree_leaves(cams_stacked)
 
-    if not use_dist:
+    if args.densify:
+        raw_step = densify_lib.make_train_step(cfg, tc, True, jit=False)
+
+        @jax.jit
+        def epoch_densify(state, dstate):
+            def body(carry, ct):
+                s, ds = carry
+                cam_leaves, tgt = ct
+                cam = jax.tree_util.tree_unflatten(cam_treedef, cam_leaves)
+                s, ds, loss = raw_step(s, ds, cam, tgt)
+                return (s, ds), loss
+            (s, ds), ls = jax.lax.scan(
+                body, (state, dstate),
+                (cam_leaves_stacked, targets_stacked))
+            return s, ds, ls
+    elif not use_dist:
         @jax.jit
         def epoch(state):
             def body(s, ct):
                 cam_leaves, tgt = ct
-                cam = jax.tree_util.tree_unflatten(
-                    jax.tree_util.tree_structure(cameras[0]), cam_leaves)
+                cam = jax.tree_util.tree_unflatten(cam_treedef, cam_leaves)
                 return trainer.train_step(s, cam, tgt, cfg, tc, True)
             return jax.lax.scan(
                 body, state,
-                (jax.tree_util.tree_leaves(cams_stacked), targets_stacked))
+                (cam_leaves_stacked, targets_stacked))
 
     t0 = time.perf_counter()
     loss = None
     i = 0
     while i < args.steps:
-        if not use_dist and args.steps - i >= args.views:
+        if args.densify:
+            state, dstate, losses_ep = epoch_densify(state, dstate)
+            loss = losses_ep[-1]
+            i += args.views
+            c = dcfg
+            if (c.densify_from_step <= i <= c.densify_until_step
+                    and i % c.densify_every == 0):
+                state, dstate = densify_lib.densify_and_prune(state, dstate,
+                                                              c)
+                log.info("densify at step %d: %d gaussians alive", i,
+                         int(jnp.sum(dstate.alive)))
+            if c.reset_opacity_every and i % c.reset_opacity_every < args.views \
+                    and i >= c.reset_opacity_every:
+                state = densify_lib.reset_opacity(state, dstate, c)
+        elif not use_dist and args.steps - i >= args.views:
             state, losses_ep = epoch(state)
             loss = losses_ep[-1]
             i += args.views
@@ -149,12 +208,17 @@ def main(argv=None) -> int:
     final = render_jit(state.params, cameras[0], cfg, True)
     psnr = float(losses.psnr(final[..., :3], targets[0][..., :3]))
     log.info("PSNR vs target view 0: %.2f dB", psnr)
+    if args.densify:
+        log.info("final gaussian count: %d (capacity %d)",
+                 int(jnp.sum(dstate.alive)), state.params.num_gaussians)
 
     if args.checkpoint:
         checkpoint.save_checkpoint(args.checkpoint, state)
         log.info("checkpoint -> %s", args.checkpoint)
     if args.export_ply:
         params = state.params
+        if args.densify:
+            params = densify_lib.compact(params, dstate)
         if use_dist:
             params = jax.tree.map(np.asarray, params)
             params = GaussianModel(*[jnp.asarray(x) for x in

@@ -26,6 +26,7 @@ class RenderOutput(NamedTuple):
     tile_counts: jnp.ndarray  # (T,) i32 splats composited per tile
     overflow: jnp.ndarray     # () i32 dropped pairs (capacity exceeded)
     num_pairs: jnp.ndarray    # () i32 live (gaussian, tile) pairs
+    visible: jnp.ndarray      # (N,) bool, gaussian survived frustum cull
 
 
 def _untile_crop(tiles: jnp.ndarray, cfg: RasterConfig) -> jnp.ndarray:
@@ -39,12 +40,13 @@ def _untile_crop(tiles: jnp.ndarray, cfg: RasterConfig) -> jnp.ndarray:
 
 
 def render(model: GaussianModel, camera: Camera, cfg: RasterConfig,
-           use_pallas: bool = True) -> RenderOutput:
+           use_pallas: bool = True,
+           xy_probe: jnp.ndarray | None = None) -> RenderOutput:
     """Render one frame. Jit with static cfg/use_pallas:
 
         jit_render = jax.jit(render, static_argnums=(2, 3))
     """
-    splats = project_gaussians(model, camera, cfg)
+    splats = project_gaussians(model, camera, cfg, xy_probe=xy_probe)
     binned = binning.bin_splats(splats, cfg)
     if use_pallas:
         from gaussian_splat_ipu_tpu.render.kernels import rasterize
@@ -54,7 +56,8 @@ def render(model: GaussianModel, camera: Camera, cfg: RasterConfig,
     image = _untile_crop(tiles, cfg)
     counts = binned.tile_ends - binned.tile_starts
     return RenderOutput(image=image, tile_counts=counts,
-                        overflow=binned.overflow, num_pairs=binned.num_pairs)
+                        overflow=binned.overflow, num_pairs=binned.num_pairs,
+                        visible=splats.radius > 0.0)
 
 
 def render_image(model: GaussianModel, camera: Camera,

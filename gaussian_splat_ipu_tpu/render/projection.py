@@ -32,7 +32,12 @@ class ProjectedSplats(NamedTuple):
 
 
 def project_gaussians(model: GaussianModel, camera: Camera,
-                      cfg: RasterConfig) -> ProjectedSplats:
+                      cfg: RasterConfig,
+                      xy_probe: jnp.ndarray | None = None
+                      ) -> ProjectedSplats:
+    """xy_probe: optional (N, 2) zeros added to the screen position — a
+    gradient probe: d(loss)/d(xy_probe) is the per-gaussian screen-space
+    positional gradient that drives densification (train/densify.py)."""
     means = model.means.astype(jnp.float32)
     n = means.shape[0]
 
@@ -43,6 +48,8 @@ def project_gaussians(model: GaussianModel, camera: Camera,
     depth = -t_view[:, 2]  # camera looks down -z; positive in front
 
     xy = transforms.clip_to_screen(clip, cfg.image_width, cfg.image_height)
+    if xy_probe is not None:
+        xy = xy + xy_probe
 
     fx, fy, tan_fovx, tan_fovy = camera.focals(cfg.image_width,
                                                cfg.image_height)

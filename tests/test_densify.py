@@ -1,0 +1,173 @@
+"""Adaptive density control tests (train/densify.py): split/clone/prune
+semantics in the fixed-capacity slot buffer, optimizer-state row repair,
+screen-gradient statistics, and the end-to-end fit loop.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussian_splat_ipu_tpu.models.camera import Camera
+from gaussian_splat_ipu_tpu.models.gaussians import GaussianModel
+from gaussian_splat_ipu_tpu.train import densify, trainer
+from gaussian_splat_ipu_tpu.utils.config import RasterConfig
+
+CFG = RasterConfig(image_width=64, image_height=64, pair_capacity=1 << 12,
+                   max_chunks_per_tile=4)
+
+
+def _cam():
+    return Camera.orbit(np.array([-1.0, -1.0, -1.0], np.float32),
+                        np.array([1.0, 1.0, 1.0], np.float32),
+                        fov_radians=np.radians(45.0), aspect=1.0)
+
+
+def _padded_state(n_alive, capacity, seed=0, log_scale=-2.0, opacity=2.0):
+    """TrainState + DensifyState with n_alive identical-ish gaussians."""
+    key = jax.random.PRNGKey(seed)
+    model = GaussianModel(
+        means=jax.random.uniform(key, (n_alive, 3), jnp.float32, -0.5, 0.5),
+        log_scales=jnp.full((n_alive, 3), log_scale, jnp.float32),
+        quats=jnp.tile(jnp.array([[1., 0., 0., 0.]], jnp.float32),
+                       (n_alive, 1)),
+        opacities=jnp.full((n_alive,), opacity, jnp.float32),
+        sh=jnp.ones((n_alive, 1, 3), jnp.float32))
+    dstate = densify.init_state(n_alive, capacity, jax.random.PRNGKey(1))
+    state = trainer.init_state(densify.pad_model(model, capacity))
+    return state, dstate
+
+
+class TestDensifyAndPrune:
+    def test_prune_low_opacity(self):
+        state, dstate = _padded_state(4, 8)
+        # Slot 1 drops below the prune threshold.
+        ops = state.params.opacities.at[1].set(-12.0)  # sigmoid ~ 6e-6
+        state = state._replace(params=GaussianModel(
+            means=state.params.means, log_scales=state.params.log_scales,
+            quats=state.params.quats, opacities=ops, sh=state.params.sh))
+        new_state, new_dstate = densify.densify_and_prune(
+            state, dstate, densify.DensifyConfig())
+        alive = np.asarray(new_dstate.alive)
+        assert not alive[1]
+        assert alive[[0, 2, 3]].all()
+        # Dead slot parked invisible.
+        assert float(new_state.params.opacities[1]) <= -29.0
+
+    def test_clone_small_high_grad(self):
+        state, dstate = _padded_state(3, 8, log_scale=-8.0)  # tiny scales
+        # Slot 2 has a large accumulated screen gradient.
+        dstate = dstate._replace(
+            grad_sum=dstate.grad_sum.at[2].set(1.0),
+            vis_count=dstate.vis_count + dstate.alive.astype(jnp.int32))
+        cfg = densify.DensifyConfig(scene_extent=1.0)
+        new_state, new_dstate = densify.densify_and_prune(state, dstate, cfg)
+        assert int(jnp.sum(new_dstate.alive)) == 4
+        # The clone (first free slot = 3) duplicates slot 2 exactly.
+        p = new_state.params
+        np.testing.assert_allclose(np.asarray(p.means[3]),
+                                   np.asarray(p.means[2]))
+        np.testing.assert_allclose(np.asarray(p.log_scales[3]),
+                                   np.asarray(p.log_scales[2]))
+        # Stats reset after the event.
+        assert float(jnp.sum(new_dstate.grad_sum)) == 0.0
+
+    def test_split_large_high_grad(self):
+        state, dstate = _padded_state(3, 8, log_scale=-1.0)  # big scales
+        dstate = dstate._replace(
+            grad_sum=dstate.grad_sum.at[0].set(1.0),
+            vis_count=dstate.vis_count + dstate.alive.astype(jnp.int32))
+        cfg = densify.DensifyConfig(scene_extent=1.0)
+        old_mean0 = np.asarray(state.params.means[0]).copy()
+        new_state, new_dstate = densify.densify_and_prune(state, dstate, cfg)
+        assert int(jnp.sum(new_dstate.alive)) == 4
+        p = new_state.params
+        # Both children shrank by the split factor.
+        expect = -1.0 - np.log(cfg.split_scale_factor)
+        np.testing.assert_allclose(np.asarray(p.log_scales[0]), expect,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(p.log_scales[3]), expect,
+                                   rtol=1e-6)
+        # Children were re-sampled: neither sits exactly on the old mean.
+        assert np.abs(np.asarray(p.means[0]) - old_mean0).max() > 0.0
+        assert np.abs(np.asarray(p.means[3]) - old_mean0).max() > 0.0
+        # Untouched gaussians keep their parameters.
+        np.testing.assert_allclose(np.asarray(p.means[1]),
+                                   np.asarray(state.params.means[1]))
+
+    def test_capacity_full_drops_lowest_priority(self):
+        state, dstate = _padded_state(8, 8, log_scale=-8.0)
+        dstate = dstate._replace(
+            grad_sum=dstate.grad_sum + 1.0,
+            vis_count=dstate.vis_count + 1)
+        new_state, new_dstate = densify.densify_and_prune(
+            state, dstate, densify.DensifyConfig())
+        # All 8 candidates want to clone but there are no free slots.
+        assert int(jnp.sum(new_dstate.alive)) == 8
+        np.testing.assert_allclose(np.asarray(new_state.params.means),
+                                   np.asarray(state.params.means))
+
+    def test_opt_state_rows_zeroed_for_births(self):
+        state, dstate = _padded_state(3, 8, log_scale=-8.0)
+        # Fake nonzero Adam moments everywhere.
+        state = state._replace(opt_state=jax.tree.map(
+            lambda x: (jnp.ones_like(x)
+                       if isinstance(x, jnp.ndarray) and x.ndim >= 1
+                       and x.shape[:1] == (8,) else x),
+            state.opt_state))
+        dstate = dstate._replace(
+            grad_sum=dstate.grad_sum.at[1].set(1.0),
+            vis_count=dstate.vis_count + dstate.alive.astype(jnp.int32))
+        new_state, _ = densify.densify_and_prune(state, dstate,
+                                                 densify.DensifyConfig())
+        leaves = [x for x in jax.tree.leaves(new_state.opt_state)
+                  if isinstance(x, jnp.ndarray) and x.ndim >= 1
+                  and x.shape[:1] == (8,)]
+        assert leaves
+        for leaf in leaves:
+            row = np.asarray(leaf[3])  # birth slot
+            np.testing.assert_allclose(row, 0.0)
+            row1 = np.asarray(leaf[0])  # untouched survivor
+            np.testing.assert_allclose(row1, 1.0)
+
+
+def test_reset_opacity_clamps_and_zeroes_moments():
+    state, dstate = _padded_state(4, 8, opacity=5.0)
+    cfg = densify.DensifyConfig(reset_opacity_to=0.01)
+    new_state = densify.reset_opacity(state, dstate, cfg)
+    post = jax.nn.sigmoid(np.asarray(new_state.params.opacities[:4]))
+    assert (post <= 0.0100001).all()
+    # Dead slots untouched (already far below).
+    assert float(new_state.params.opacities[7]) <= -29.0
+
+
+def test_train_step_accumulates_visible_grads():
+    state, dstate = _padded_state(16, 32, log_scale=-2.0)
+    step = densify.make_train_step(CFG, trainer.TrainConfig(ssim_weight=0.0),
+                                   use_pallas=False)
+    target = jnp.zeros((64, 64, 4), jnp.float32)
+    state, dstate, loss = step(state, dstate, _cam(), target)
+    assert np.isfinite(float(loss))
+    gs = np.asarray(dstate.grad_sum)
+    vc = np.asarray(dstate.vis_count)
+    # Dead slots never accumulate.
+    assert (gs[16:] == 0.0).all() and (vc[16:] == 0).all()
+    # Some live gaussian is visible and received a screen gradient.
+    assert vc[:16].max() >= 1
+    assert gs[:16].max() > 0.0
+
+
+def test_fit_densify_end_to_end():
+    key = jax.random.PRNGKey(7)
+    model = GaussianModel.random(key, 32)
+    cams = [_cam()]
+    targets = [jnp.full((64, 64, 4), 0.25, jnp.float32)]
+    cfg = densify.DensifyConfig(densify_from_step=2, densify_every=5,
+                                grad_threshold=1e-6,  # force events
+                                reset_opacity_every=0)
+    out, history = densify.fit_densify(
+        model, cams, targets, CFG, trainer.TrainConfig(ssim_weight=0.0),
+        cfg, capacity=64, num_steps=12, use_pallas=False, log_every=4)
+    assert out.num_gaussians >= 1
+    assert all(np.isfinite(l) for _, l, _ in history)
+    # Compact output has no parked slots.
+    assert (np.asarray(out.opacities) > densify._DEAD_OPACITY + 1.0).all()

@@ -56,6 +56,31 @@ def test_train_cli_self_mode_improves(tmp_path, capsys):
     assert numpy.load(ckpt)["leaf_0"].shape[0] == 96
 
 
+def test_train_cli_densify_mode(tmp_path, capsys):
+    from gaussian_splat_ipu_tpu.app import train as train_app
+
+    scene = str(tmp_path / "scene.ply")
+    _write_scene(scene, n=48)
+    out_ply = str(tmp_path / "trained.ply")
+    rc = train_app.main([
+        "--input", scene, "--width", "64", "--height", "64",
+        "--steps", "8", "--views", "2", "--mode", "distill",
+        "--init-gaussians", "24", "--ssim-weight", "0.0",
+        "--pair-capacity", str(1 << 12),
+        "--densify", "--capacity", "64", "--densify-from", "2",
+        "--densify-every", "2", "--densify-grad-threshold", "1e-7",
+        "--export-ply", out_ply, "--log-level", "off",
+    ])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert line.startswith("final_loss=")
+    assert np.isfinite(float(line.split()[0].split("=")[1]))
+    # Exported scene is compacted: only live gaussians, within capacity.
+    from gaussian_splat_ipu_tpu.train import checkpoint
+    back = checkpoint.import_ply(out_ply)
+    assert 1 <= back.num_gaussians <= 64
+
+
 def test_multihost_helpers_single_process():
     from gaussian_splat_ipu_tpu.parallel import multihost
 
