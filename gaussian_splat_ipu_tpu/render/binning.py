@@ -159,6 +159,55 @@ _sorted_feature_table.defvjp(_sorted_feature_table_fwd,
                              _sorted_feature_table_bwd)
 
 
+@jax.custom_vjp
+def _fused_sorted_feature_table(packed, tile, gid_pre, depth_keep_bits):
+    """Single-radix-pass variant of _sorted_feature_table.
+
+    The sort key packs (tile, quantized depth) into one i32:
+    key = (tile << depth_keep_bits) | (depth_bits >> (31 - depth_keep_bits))
+    where depth_bits is the order-isomorphic i32 view of the positive f32
+    depth. One stable radix pass replaces the two of the exact path — the
+    sort is the dominant binning cost, so this halves it. Ties within a
+    depth quantum fall back to gaussian-id order (stable sort over the
+    ascending pre-sort gid). depth_keep_bits is a traced i32 scalar.
+    Returns (feats (TABLE_ROWS, P), tile_s (P,), gid_s (P,)).
+    """
+    table = packed[gid_pre]                        # (P, F) ascending gather
+    is_pad = gid_pre >= packed.shape[0] - 1
+    depth_bits = jax.lax.bitcast_convert_type(table[:, FEAT_DEPTH],
+                                              jnp.int32)
+    key = jnp.where(
+        is_pad, jnp.int32(0x7FFFFFFF),
+        (tile << depth_keep_bits)
+        | (depth_bits >> (jnp.int32(31) - depth_keep_bits)))
+    cols = [table[:, i] for i in range(NUM_FEATURES)]
+    out = jax.lax.sort(tuple([key, gid_pre] + cols), num_keys=1)
+    feats = jnp.concatenate(
+        [jnp.stack(out[2:], axis=0),
+         jnp.zeros((TABLE_ROWS - NUM_FEATURES, tile.shape[0]),
+                   jnp.float32)], axis=0)          # (TABLE_ROWS, P)
+    # Pads recover as 0x7FFFFFFF >> bits >= num_tiles: still pads.
+    return feats, out[0] >> depth_keep_bits, out[1]
+
+
+def _fused_sorted_feature_table_fwd(packed, tile, gid_pre, depth_keep_bits):
+    out = _fused_sorted_feature_table(packed, tile, gid_pre,
+                                      depth_keep_bits)
+    return out, (out[2], packed.shape[0])
+
+
+def _fused_sorted_feature_table_bwd(res, cotangents):
+    gid_s, n_rows = res
+    rows = cotangents[0][:NUM_FEATURES].T          # (P, F)
+    dpacked = jnp.zeros((n_rows, NUM_FEATURES), rows.dtype)
+    dpacked = dpacked.at[gid_s].add(rows)
+    return dpacked, None, None, None
+
+
+_fused_sorted_feature_table.defvjp(_fused_sorted_feature_table_fwd,
+                                   _fused_sorted_feature_table_bwd)
+
+
 def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
                row_lo=None, num_rows: int | None = None,
                pair_capacity: int | None = None) -> BinnedSplats:
@@ -249,7 +298,14 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
     packed = jnp.concatenate(
         [body, jnp.zeros((1, NUM_FEATURES), jnp.float32)])
     gid_pre = jnp.where(is_pad, n, gid)
-    feats, tile_s, gid_s = _sorted_feature_table(packed, tile, gid_pre)
+    # Fused single-key sort when the tile id and a useful depth share an
+    # i32 (>=16 depth bits); exact two-pass (tile, full depth) otherwise.
+    tile_bits = (num_tiles + 1).bit_length()
+    if cfg.fused_sort_key and 31 - tile_bits >= 16:
+        feats, tile_s, gid_s = _fused_sorted_feature_table(
+            packed, tile, gid_pre, jnp.int32(31 - tile_bits))
+    else:
+        feats, tile_s, gid_s = _sorted_feature_table(packed, tile, gid_pre)
     pad_s = tile_s >= num_tiles
 
     tids = row_lo * ntx + jnp.arange(num_local, dtype=jnp.int32)

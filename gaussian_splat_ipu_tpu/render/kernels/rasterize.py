@@ -12,9 +12,9 @@ VPU/MXU instead of translated:
   * within a chunk there is NO serial gaussian loop (the reference's
     per-pixel loop, codelets.cpp:362-412): alphas for all C gaussians x
     NPIX pixels evaluate as one (C, NPIX) VPU block, transmittance
-    prefixes T_i = T_in*prod_{j<i}(1-a_j) come from a strictly-lower-
-    triangular (C, C) matmul on the MXU (exclusive cumsum of log1p(-a)),
-    and colour accumulates with a second MXU contraction
+    prefixes T_i = T_in*prod_{j<i}(1-a_j) come from a log2(C)-step
+    shift-and-add doubling scan (exclusive cumsum of log1p(-a), exact
+    f32 on the VPU), and colour accumulates with one MXU contraction
     (C,3)^T @ (C,NPIX) -> (3, NPIX);
   * per-tile early exit: a while_loop stops as soon as every pixel's
     transmittance terminates (reference T < 1e-4 break,
@@ -74,12 +74,6 @@ def _kernel(starts_ref, ends_ref, off_ref, feat_ref, out_ref, nc_ref,
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
 
-    # Strictly-lower-triangular ones: L @ v = exclusive cumsum along the
-    # gaussian (sublane) axis, one MXU matmul for the whole chunk.
-    row = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
-    tril = jnp.where(col < row, 1.0, 0.0)
-
     def dma(slot, k):
         off = pl.multiple_of(base + k * c, c)
         return pltpu.make_async_copy(
@@ -120,24 +114,28 @@ def _kernel(starts_ref, ends_ref, off_ref, feat_ref, out_ref, nc_ref,
                 | jnp.logical_not(valid))
         alpha = jnp.where(skip, 0.0, alpha)
 
-        log1ma = jnp.log1p(-alpha)
-        # Exclusive cumsum of log-transmittance along the gaussian axis via
-        # the triangular matmul. Full f32 passes: the default (bf16) MXU
-        # precision shows up as ~1e-2 pixel error through exp().
-        excl = jax.lax.dot_general(
-            tril, log1ma, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        t_pre = t * jnp.exp(excl)                      # (C, NPIX)
-        test_t = t_pre * (1.0 - alpha)
+        # Multiplicative domain (same formulation as the jnp spec): the
+        # transmittance prefix is a cumulative product of (1 - a) along
+        # the gaussian (sublane) axis, built by log2(C) shift-and-multiply
+        # doubling steps. No log1p/exp round trip — that log-domain
+        # version cost two transcendental (C, NPIX) passes per chunk.
+        one_minus = 1.0 - alpha
+        incl = one_minus
+        sh = 1
+        while sh < c:
+            incl = incl * jnp.concatenate(
+                [jnp.ones((sh, npix), jnp.float32), incl[:-sh]], axis=0)
+            sh *= 2
+        t_pre = t * jnp.concatenate(
+            [jnp.ones((1, npix), jnp.float32), incl[:-1]], axis=0)
+        test_t = t * incl
         trig = jnp.where((test_t < cfg.transmittance_eps) & (alpha > 0.0),
                          1.0, 0.0)
-        # Inclusive "any trigger at or before i": exclusive count + self.
-        # Counts are small integers, bf16-exact, so default precision is ok.
-        trip = jax.lax.dot_general(
-            tril, trig, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + trig
-        live = jnp.where(trip >= 1.0, 0.0, 1.0) * (1.0 - stopped)
+        # Within a chunk test_t is monotone non-increasing in depth, so
+        # "any trigger at or before i" collapses to the ELEMENTWISE test:
+        # every element past the first trigger either fails it too
+        # (alpha > 0) or contributes nothing (alpha == 0). No scan needed.
+        live = (1.0 - trig) * (1.0 - stopped)
         w = alpha * t_pre * live                       # (C, NPIX)
 
         rgb = chunk[:, B.FEAT_R:B.FEAT_B + 1]          # (C, 3)
@@ -147,7 +145,12 @@ def _kernel(starts_ref, ends_ref, off_ref, feat_ref, out_ref, nc_ref,
             rgb, w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)       # (3, NPIX)
-        t = t * jnp.exp(jnp.sum(log1ma * live, axis=0, keepdims=True))
+        # T freezes at the FIRST trigger's prefix (first = largest t_pre);
+        # without a trigger it advances by the whole-chunk product.
+        chunk_any = jnp.max(trig, axis=0, keepdims=True)
+        frozen = jnp.max(t_pre * trig, axis=0, keepdims=True)
+        t = jnp.where(stopped > 0.0, t,
+                      jnp.where(chunk_any > 0.0, frozen, t * incl[-1:]))
         # Track the first trigger's global pair index per pixel: the
         # backward kernel replays compositing up to (excluding) it.
         trig_pos = jnp.where(trig > 0.0, pos.astype(jnp.float32),
@@ -155,7 +158,7 @@ def _kernel(starts_ref, ends_ref, off_ref, feat_ref, out_ref, nc_ref,
         stop_pos = jnp.minimum(stop_pos, jnp.min(trig_pos, axis=0,
                                                  keepdims=True))
         # A pixel that triggered anywhere in this chunk never resumes.
-        stopped = jnp.maximum(stopped, jnp.max(trig, axis=0, keepdims=True))
+        stopped = jnp.maximum(stopped, chunk_any)
 
         # Speculatively stage the next chunk if we will keep going.
         @pl.when(jnp.logical_and(k + 1 < nchunks, jnp.min(stopped) < 0.5))
@@ -213,7 +216,9 @@ def _pallas_forward(features, starts, ends, offset, cfg: RasterConfig,
         ],
     )
     kernel = functools.partial(_kernel, cfg=cfg)
-    flops_est = 2 * npix * c * c  # per tile, dominated by the cumsum matmul
+    # Per tile: ~20 elementwise (C, NPIX) passes (alpha eval + doubling
+    # scan) + the (3, C, NPIX) colour contraction.
+    flops_est = npix * c * 26
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -238,7 +243,7 @@ def _bwd_kernel(starts_ref, ends_ref, off_ref, feat_ref, gout_ref, tn_ref,
 
     Replays each tile's depth range in REVERSE chunk order, reconstructing
     the per-gaussian transmittance from the saved final value
-    (T_i = T_end * exp(suffix-sum log(1-a))) instead of storing the forward
+    (T_i = T_end / suffix-prod(1-a)) instead of storing the forward
     intermediates — O(pixels) memory against the jnp spec's O(pixels*pairs)
     (the standard 3DGS backward recurrence, re-derived for chunked MXU
     suffix scans). dL/d(alpha_i) = T_i*(c_i.u) - (sigma_i + gT*T_n)/(1-a_i)
@@ -274,10 +279,25 @@ def _bwd_kernel(starts_ref, ends_ref, off_ref, feat_ref, gout_ref, tn_ref,
     py = (idx // cfg.tile_width + oy).astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
-    u_incl = jnp.where(col >= row, 1.0, 0.0)   # inclusive suffix sum
-    u_strict = jnp.where(col > row, 1.0, 0.0)  # strict suffix sum
+    def suffix_incl(x):
+        # Inclusive suffix sum along sublanes by doubling (exact f32; the
+        # same replacement as the forward's cumsum — one (C, C) triangular
+        # MXU matmul would need 6 full-precision passes).
+        sh = 1
+        while sh < c:
+            x = x + jnp.concatenate(
+                [x[sh:], jnp.zeros((sh, npix), jnp.float32)], axis=0)
+            sh *= 2
+        return x
+
+    def suffix_prod_incl(x):
+        # Multiplicative counterpart (transmittance suffix products).
+        sh = 1
+        while sh < c:
+            x = x * jnp.concatenate(
+                [x[sh:], jnp.ones((sh, npix), jnp.float32)], axis=0)
+            sh *= 2
+        return x
 
     u = gout_ref[0, 0:3, :]                     # dL/dC (3, NPIX)
     g_a = gout_ref[0, 3:4, :]                   # dL/d(alpha out)
@@ -342,15 +362,15 @@ def _bwd_kernel(starts_ref, ends_ref, off_ref, feat_ref, gout_ref, tn_ref,
         live = pos.astype(jnp.float32) < live_limit        # (C, NPIX)
         a_eff = jnp.where(live, alpha, 0.0)
 
-        log1ma = jnp.log1p(-a_eff)
-        s_incl = jax.lax.dot_general(u_incl, log1ma,
-                                     (((1,), (0,)), ((), ())), **hp)
-        t_i = t_carry * jnp.exp(-s_incl)                   # (C, NPIX)
+        # T_i = T_end / prod_{j>=i}(1 - a_j): the suffix product is
+        # bounded below by T_end / T_start >= ~transmittance_eps within
+        # the contributing range, so the reciprocal is safe in f32.
+        rp = 1.0 / suffix_prod_incl(1.0 - a_eff)
+        t_i = t_carry * rp                                 # (C, NPIX)
         cu = jax.lax.dot_general(rgb, u, (((1,), (0,)), ((), ())), **hp)
         w = a_eff * t_i
         q = w * cu
-        sig = jax.lax.dot_general(u_strict, q,
-                                  (((1,), (0,)), ((), ())), **hp) + sigma
+        sig = suffix_incl(q) - q + sigma                   # strict suffix
 
         d_alpha = jnp.where(
             a_eff > 0.0,
@@ -405,7 +425,7 @@ def _bwd_kernel(starts_ref, ends_ref, off_ref, feat_ref, gout_ref, tn_ref,
         w_dma.start()
         w_dma.wait()
 
-        t_carry = t_carry * jnp.exp(-jnp.sum(log1ma, axis=0, keepdims=True))
+        t_carry = t_carry * rp[0:1]   # T before the chunk
         sigma = sigma + jnp.sum(q, axis=0, keepdims=True)
         return t_carry, sigma
 

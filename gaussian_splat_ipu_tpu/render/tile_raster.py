@@ -9,11 +9,11 @@ The key TPU-native idea (vs the reference's per-pixel serial gaussian loop,
 codelets/splat/codelets.cpp:362-412): process gaussians in depth-ordered
 chunks of C. Within a chunk, per-pixel transmittance prefixes are
 
-    T_i = T_in * prod_{j<i} (1 - a_j) = T_in * exp(cumsum_excl(log1p(-a)))
+    T_i = T_in * prod_{j<i} (1 - a_j)
 
-an associative scan that maps onto one (NPIX, C) cumsum — a strictly-upper
-triangular matmul on the MXU in the Pallas version — and the colour
-accumulation sum_i w_i * rgb_i is a second (NPIX, C) @ (C, 3) matmul.
+an associative scan that maps onto one (NPIX, C) cumprod — a log2(C)-step
+shift-and-multiply doubling scan in the Pallas version — and the colour
+accumulation sum_i w_i * rgb_i is one (NPIX, C) @ (C, 3) MXU matmul.
 The reference's exact break semantics (codelets.cpp:389-411: skip when
 power>0 or alpha<1/255; break *before* blending when T*(1-a) < 1e-4) are
 reproduced with masks; skipped gaussians never trigger the break.
@@ -57,24 +57,35 @@ def composite_chunk(t_in, stopped_in, alpha, rgb, cfg: RasterConfig):
     alpha: (NPIX, C); rgb: (C, 3).
     Returns (color_add (NPIX, 3), t_out, stopped_out).
     """
-    log1ma = jnp.log1p(-alpha)
-    excl = jnp.cumsum(log1ma, axis=1) - log1ma          # exclusive
-    t_pre = t_in * jnp.exp(excl)                         # (NPIX, C)
-    test_t = t_pre * (1.0 - alpha)
+    # Multiplicative domain: T prefixes are cumulative products of (1 - a)
+    # directly (no log1p/exp round trip — same formulation as the Pallas
+    # kernel so both stay allclose).
+    one_minus = 1.0 - alpha
+    incl = jnp.cumprod(one_minus, axis=1)                # (NPIX, C)
+    t_pre = t_in * jnp.concatenate(
+        [jnp.ones_like(incl[:, :1]), incl[:, :-1]], axis=1)  # exclusive
+    test_t = t_in * incl
     # Break triggers only on contributing gaussians (alpha > 0), matching
     # the reference's continue-before-test ordering (codelets.cpp:389-408).
+    # test_t is monotone non-increasing along the chunk, so "any trigger at
+    # or before i" collapses to the elementwise test: elements past the
+    # first trigger either fail it themselves (alpha > 0) or contribute
+    # nothing (alpha == 0).
     trig = (test_t < cfg.transmittance_eps) & (alpha > 0.0)
-    # Inclusive "has any trigger at or before i" per pixel.
-    tripped = jnp.cumsum(trig.astype(jnp.float32), axis=1) >= 1.0
-    live = (~tripped) & (~stopped_in)
+    live = (~trig) & (~stopped_in)
     w = alpha * t_pre * live.astype(jnp.float32)         # (NPIX, C)
     # Full-precision contraction: this path is the gradient spec, and the
     # TPU default (bf16 passes) would introduce ~1e-2 colour error.
     color_add = jnp.dot(w, rgb, preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST)
-    t_out = t_in * jnp.exp(jnp.sum(log1ma * live.astype(jnp.float32),
-                                   axis=1, keepdims=True))
-    stopped_out = stopped_in | tripped[:, -1:]
+    chunk_any = jnp.any(trig, axis=1, keepdims=True)
+    # The transmittance freezes at the FIRST trigger's prefix (the break
+    # happens before blending it); first trigger = largest such t_pre.
+    frozen = jnp.max(t_pre * trig.astype(jnp.float32), axis=1,
+                     keepdims=True)
+    t_out = jnp.where(stopped_in, t_in,
+                      jnp.where(chunk_any, frozen, t_in * incl[:, -1:]))
+    stopped_out = stopped_in | chunk_any
     return color_add, t_out, stopped_out
 
 

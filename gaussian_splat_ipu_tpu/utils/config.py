@@ -71,6 +71,14 @@ class RasterConfig:
     # PLY logit straight through (src/main/splat.cpp:149); set False for
     # bug-for-bug parity experiments.
     sigmoid_opacity: bool = True
+    # Pack (tile, depth) into ONE i32 radix key: the depth keeps
+    # 31 - ceil(log2(num_tiles + 2)) bits of its (order-isomorphic) f32 bit
+    # pattern — 21 bits at 720p, i.e. 8 exponent + 13 mantissa bits, a
+    # relative depth resolution of ~1e-4. Halves the binning sort cost
+    # (one radix pass instead of two). Compositing order can differ from
+    # the exact sort only for gaussians closer together than that
+    # resolution; set False for the exact two-pass (tile, full-depth) sort.
+    fused_sort_key: bool = True
 
     @property
     def tiles_x(self) -> int:

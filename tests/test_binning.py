@@ -98,3 +98,49 @@ def test_offscreen_clamped_to_grid():
     counts = np.asarray(b.tile_ends - b.tile_starts)
     assert int(b.num_pairs) == 1
     assert counts[0] == 1
+
+
+def test_fused_key_matches_exact_sort():
+    """Fused single-key sort == exact two-pass sort when depths are
+    separated by more than the quantization resolution."""
+    import dataclasses
+    rng = np.random.default_rng(11)
+    n = 64
+    xy = rng.uniform(0, [128, 64], (n, 2)).astype(np.float32)
+    # Well-separated depths (random permutation of 1..n).
+    depth = rng.permutation(np.arange(1, n + 1)).astype(np.float32)
+    s = make_splats(xy.tolist(), [3.0] * n, depth=depth.tolist())
+    b_fused = binning.bin_splats(s, CFG)
+    b_exact = binning.bin_splats(
+        s, dataclasses.replace(CFG, fused_sort_key=False))
+    np.testing.assert_array_equal(np.asarray(b_fused.pair_gid),
+                                  np.asarray(b_exact.pair_gid))
+    np.testing.assert_allclose(np.asarray(b_fused.features),
+                               np.asarray(b_exact.features))
+    np.testing.assert_array_equal(np.asarray(b_fused.tile_starts),
+                                  np.asarray(b_exact.tile_starts))
+    np.testing.assert_array_equal(np.asarray(b_fused.tile_ends),
+                                  np.asarray(b_exact.tile_ends))
+
+
+def test_fused_key_gradients_flow():
+    """The fused table's custom VJP scatter-adds cotangents per gaussian
+    identically to the exact path's."""
+    import dataclasses
+    import jax
+
+    s = make_splats([[16.0, 16.0], [48.0, 16.0], [17.0, 17.0]],
+                    [2.0, 2.0, 2.0], depth=[2.0, 1.0, 3.0])
+
+    def loss_with(cfg):
+        def f(opacity):
+            b = binning.bin_splats(s._replace(opacity=opacity), cfg)
+            return jnp.sum(b.features[binning.FEAT_OPACITY]
+                           * b.features[binning.FEAT_DEPTH])
+        return jax.grad(f)(s.opacity)
+
+    g_fused = loss_with(CFG)
+    g_exact = loss_with(dataclasses.replace(CFG, fused_sort_key=False))
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_exact),
+                               rtol=1e-6)
+    assert np.abs(np.asarray(g_fused)).max() > 0
