@@ -66,6 +66,25 @@ def main():
     fov = float(np.radians(40.0))
     aspect = WIDTH / HEIGHT
 
+    # Right-size the pair table: every binning pass is O(capacity), so the
+    # 2^18 safety default would spend ~2x the frame time this scene needs.
+    # Probe the orbit's worst-case pair demand once, then rebuild the config
+    # with 1.5x headroom (chunk-aligned power of two; zero overflow =>
+    # pixel-exact) — the auto-tuning a production renderer would persist.
+    import dataclasses
+
+    def demand_at(m, a):
+        out = render(m, Camera.orbit(bb_min, bb_max, fov, aspect,
+                                     rot_y_deg=a), cfg, True)
+        return out.num_pairs + out.overflow
+
+    probe = jax.jit(demand_at)
+    demand = max(int(probe(model, jnp.float32(a)))
+                 for a in np.linspace(0.0, 360.0, 16))
+    cap = max(1 << int(np.ceil(np.log2(1.5 * demand))), 4 * cfg.chunk_size)
+    if cap < cfg.pair_capacity:
+        cfg = dataclasses.replace(cfg, pair_capacity=cap)
+
     def frames(model, angles):
         def body(acc, a):
             cam = Camera.orbit(bb_min, bb_max, fov, aspect, rot_y_deg=a)

@@ -170,6 +170,11 @@ def _fused_sorted_feature_table(packed, tile, gid_pre, depth_keep_bits):
     sort is the dominant binning cost, so this halves it. Ties within a
     depth quantum fall back to gaussian-id order (stable sort over the
     ascending pre-sort gid). depth_keep_bits is a traced i32 scalar.
+
+    The 10 feature columns ride the sort as carried values (same as the
+    two-pass path; an interleaved A/B against sort-(key,gid)-then-gather
+    measured no win for the gather variant at P=2^17 or 2^18 on v5e).
+
     Returns (feats (TABLE_ROWS, P), tile_s (P,), gid_s (P,)).
     """
     table = packed[gid_pre]                        # (P, F) ascending gather
@@ -256,11 +261,10 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
     gid_at = jnp.zeros((p,), jnp.int32).at[first_slot].max(iota_n,
                                                            mode="drop")
     gid = jax.lax.cummax(gid_at)
-    # Segment start per slot, same trick (both fills are monotonic).
-    seg_at = jnp.zeros((p,), jnp.int32).at[first_slot].max(
-        jnp.minimum(first_slot, p - 1), mode="drop")
+    # Rank within the owner's range: its exclusive offset, gathered per
+    # slot (cheaper than the second scatter+cummax fill it replaces).
     slot = jnp.arange(p, dtype=jnp.int32)
-    rank = slot - jax.lax.cummax(seg_at)
+    rank = slot - offsets_ext[gid]
     is_pad = gid >= n
     g = jnp.minimum(gid, n - 1)
 
