@@ -46,6 +46,10 @@ def parse_args(argv=None):
     p.add_argument("--compile-cache", default="",
                    help="persistent XLA compile cache dir "
                         "(saveExe/loadExe parity)")
+    p.add_argument("--frames-in-flight", type=int, default=2,
+                   help="render-ahead depth: JAX dispatch is async, so "
+                        "keeping k frames in flight hides host->device "
+                        "round-trip latency (1 = fully synchronous)")
     return p.parse_args(argv)
 
 
@@ -121,6 +125,8 @@ def main(argv=None) -> int:
         ui = InterfaceServer(args.ui_port)
         ui.start()
 
+    import collections
+
     ui_task = AsyncTask()
     image_host = None
     exposure, gamma = 1.0, 1.0
@@ -128,6 +134,9 @@ def main(argv=None) -> int:
     state = dict(state0)
     nframes = max(args.frames, 1)
     interactive = ui is not None and args.frames == 0
+    inflight = collections.deque()
+    t_last_retire = None
+    last_image = None
 
     i = 0
     stop = False
@@ -146,29 +155,43 @@ def main(argv=None) -> int:
             elif not interactive:
                 state["ry"] = 360.0 * i / nframes
 
-            t0 = time.perf_counter()
-            image, counts = engine.run(
+            # Submit without blocking (JAX dispatch is async); retire the
+            # oldest in-flight frame once the pipeline is full. On a
+            # remote/tunneled device this hides the per-dispatch
+            # round-trip; on a local chip it overlaps host work with
+            # device compute (the reference overlaps its UI thread the
+            # same way, splat.cpp:207-225).
+            image_d, counts_d = engine.run(
                 program, model,
                 {k: np.float32(v) for k, v in state.items()})
-            image.block_until_ready()
-            dt = time.perf_counter() - t0
-            if i % 30 == 0:
-                log.info("frame %d: %.2f ms (%.1f fps, %.2f Msplats/s)",
-                         i, dt * 1e3, 1.0 / dt, n / dt / 1e6)
+            inflight.append((image_d, counts_d, time.perf_counter()))
 
-            if ui is not None:
-                # Overlap encode/send with the next frame (splat.cpp:280-283
-                # double-buffering via AsyncTask).
-                ui_task.wait_for_completion()
-                image_host = np.asarray(image)
-                counts_host = np.asarray(counts)
+            if len(inflight) >= max(args.frames_in_flight, 1):
+                image_d, counts_d, t_submit = inflight.popleft()
+                image_d.block_until_ready()
+                now = time.perf_counter()
+                if t_last_retire is not None and i % 30 == 0:
+                    dt = max(now - t_last_retire, 1e-9)
+                    log.info("frame %d: %.2f ms (%.1f fps, %.2f "
+                             "Msplats/s; latency %.1f ms)", i, dt * 1e3,
+                             1.0 / dt, n / dt / 1e6,
+                             (now - t_submit) * 1e3)
+                t_last_retire = now
+                last_image = image_d
 
-                def push(img=image_host, cnt=counts_host, ex=exposure,
-                         gm=gamma):
-                    ui.send_preview_image(img, ex, gm)
-                    ui.send_histogram(cnt)
+                if ui is not None:
+                    # Overlap encode/send with the next frame
+                    # (splat.cpp:280-283 double-buffering via AsyncTask).
+                    ui_task.wait_for_completion()
+                    image_host = np.asarray(image_d)
+                    counts_host = np.asarray(counts_d)
 
-                ui_task.run(push)
+                    def push(img=image_host, cnt=counts_host, ex=exposure,
+                             gm=gamma):
+                        ui.send_preview_image(img, ex, gm)
+                        ui.send_histogram(cnt)
+
+                    ui_task.run(push)
 
             i += 1
             if not interactive and i >= nframes:
@@ -178,7 +201,9 @@ def main(argv=None) -> int:
             ui_task.wait_for_completion()
             ui.stop()
 
-    image_util.write_png(args.output, np.asarray(image))
+    while inflight:  # drain the pipeline; the newest frame is the dump
+        last_image, _, _ = inflight.popleft()
+    image_util.write_png(args.output, np.asarray(last_image))
     log.info("wrote %s", args.output)
     return 0
 
