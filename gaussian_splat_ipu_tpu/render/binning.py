@@ -160,7 +160,8 @@ _sorted_feature_table.defvjp(_sorted_feature_table_fwd,
 
 
 @jax.custom_vjp
-def _fused_sorted_feature_table(packed, tile, gid_pre, depth_keep_bits):
+def _fused_sorted_feature_table(packed, rank, gid_pre, depth_keep_bits,
+                                ntx_s):
     """Single-radix-pass variant of _sorted_feature_table.
 
     The sort key packs (tile, quantized depth) into one i32:
@@ -169,16 +170,35 @@ def _fused_sorted_feature_table(packed, tile, gid_pre, depth_keep_bits):
     depth. One stable radix pass replaces the two of the exact path — the
     sort is the dominant binning cost, so this halves it. Ties within a
     depth quantum fall back to gaussian-id order (stable sort over the
-    ascending pre-sort gid). depth_keep_bits is a traced i32 scalar.
+    ascending pre-sort gid). depth_keep_bits/ntx_s are traced i32 scalars.
 
-    The 10 feature columns ride the sort as carried values (same as the
-    two-pass path; an interleaved A/B against sort-(key,gid)-then-gather
-    measured no win for the gather variant at P=2^17 or 2^18 on v5e).
+    packed is (N+1, NUM_FEATURES + 1): the extra column is the PACKED
+    COVERAGE GEOMETRY (x0 | y0<<12 | nx<<24) bitcast to f32 so it rides
+    the one per-pair row gather — a standalone (P,) geometry gather costs
+    ~30 ms at P=2^22 on v5e (TPU gathers run ~1 element/cycle; a second
+    gather of the same rows is NOT amortised), so the destination tile of
+    each pair is derived HERE from the gathered row + the pair's rank.
+
+    The 10 feature columns ride the sort as carried values (an interleaved
+    A/B against sort-(key,gid)-then-gather measured no win for the gather
+    variant at P=2^17..2^22 on v5e).
 
     Returns (feats (TABLE_ROWS, P), tile_s (P,), gid_s (P,)).
     """
-    table = packed[gid_pre]                        # (P, F) ascending gather
     is_pad = gid_pre >= packed.shape[0] - 1
+    table = packed[gid_pre]                    # (P, F+1) ascending gather
+    geom_g = jax.lax.bitcast_convert_type(table[:, NUM_FEATURES],
+                                          jnp.int32)
+    gx0 = geom_g & 0xFFF
+    gy0 = (geom_g >> 12) & 0xFFF
+    gnx = jnp.maximum(geom_g >> 24, 1)
+    # rank -> (dx, dy) within the coverage rectangle; f32 rcp-multiply is
+    # floor-exact for rank < 256, nx <= 16 (see bin_splats).
+    ty_off = jnp.floor(rank.astype(jnp.float32)
+                       / gnx.astype(jnp.float32)).astype(jnp.int32)
+    tx = gx0 + rank - ty_off * gnx
+    ty = gy0 + ty_off
+    tile = ty * ntx_s + tx
     depth_bits = jax.lax.bitcast_convert_type(table[:, FEAT_DEPTH],
                                               jnp.int32)
     key = jnp.where(
@@ -189,24 +209,26 @@ def _fused_sorted_feature_table(packed, tile, gid_pre, depth_keep_bits):
     out = jax.lax.sort(tuple([key, gid_pre] + cols), num_keys=1)
     feats = jnp.concatenate(
         [jnp.stack(out[2:], axis=0),
-         jnp.zeros((TABLE_ROWS - NUM_FEATURES, tile.shape[0]),
+         jnp.zeros((TABLE_ROWS - NUM_FEATURES, rank.shape[0]),
                    jnp.float32)], axis=0)          # (TABLE_ROWS, P)
     # Pads recover as 0x7FFFFFFF >> bits >= num_tiles: still pads.
     return feats, out[0] >> depth_keep_bits, out[1]
 
 
-def _fused_sorted_feature_table_fwd(packed, tile, gid_pre, depth_keep_bits):
-    out = _fused_sorted_feature_table(packed, tile, gid_pre,
-                                      depth_keep_bits)
+def _fused_sorted_feature_table_fwd(packed, rank, gid_pre, depth_keep_bits,
+                                    ntx_s):
+    out = _fused_sorted_feature_table(packed, rank, gid_pre,
+                                      depth_keep_bits, ntx_s)
     return out, (out[2], packed.shape[0])
 
 
 def _fused_sorted_feature_table_bwd(res, cotangents):
     gid_s, n_rows = res
     rows = cotangents[0][:NUM_FEATURES].T          # (P, F)
-    dpacked = jnp.zeros((n_rows, NUM_FEATURES), rows.dtype)
-    dpacked = dpacked.at[gid_s].add(rows)
-    return dpacked, None, None, None
+    # The geometry column is integer payload: no gradient.
+    dpacked = jnp.zeros((n_rows, NUM_FEATURES + 1), rows.dtype)
+    dpacked = dpacked.at[gid_s, :NUM_FEATURES].add(rows)
+    return dpacked, None, None, None, None
 
 
 _fused_sorted_feature_table.defvjp(_fused_sorted_feature_table_fwd,
@@ -261,31 +283,22 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
     gid_at = jnp.zeros((p,), jnp.int32).at[first_slot].max(iota_n,
                                                            mode="drop")
     gid = jax.lax.cummax(gid_at)
-    # Rank within the owner's range: its exclusive offset, gathered per
-    # slot (cheaper than the second scatter+cummax fill it replaces).
+    # Rank within the owner's range from gid TRANSITIONS: segment starts
+    # are where gid changes, forward-filled with one more cummax. Scan-free
+    # alternatives measured at P=2^22 on v5e: offsets_ext[gid] (a (P,)
+    # gather) ~31 ms, a second scatter+cummax fill ~12 ms, this ~4 ms —
+    # TPU gathers run ~1 element/cycle, shifts/compares run 8x128/cycle.
     slot = jnp.arange(p, dtype=jnp.int32)
-    rank = slot - offsets_ext[gid]
+    prev_gid = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), gid[:-1]])
+    rank = slot - jax.lax.cummax(jnp.where(gid != prev_gid, slot, 0))
     is_pad = gid >= n
-    g = jnp.minimum(gid, n - 1)
 
-    # One packed per-gaussian geometry gather instead of three: x0/y0 need
-    # <=12 bits each (4096-tile axes), nx 5 bits.
+    # Packed per-gaussian coverage geometry: x0/y0 need <=12 bits each
+    # (4096-tile axes), nx 5 bits. Bitcast to f32, it rides the one
+    # per-pair row gather inside _fused_sorted_feature_table — a separate
+    # (P,) geometry gather costs ~30 ms at P=2^22.
     geom = jnp.where(ncov > 0, x0 | (y0 << 12) | (nx << 24), 0)
-    geom_g = geom[g]
-    gx0 = geom_g & 0xFFF
-    gy0 = (geom_g >> 12) & 0xFFF
-    gnx = jnp.maximum(geom_g >> 24, 1)
-    # rank -> (dx, dy) within the coverage rectangle. rank < 256 and
-    # nx <= 16 make float32 division floor-exact (divides of small exact
-    # ints err <0.5ulp << the 1/nx gap to the next integer), and the VPU
-    # has no integer divider — f32 rcp-multiply is the fast path.
-    ty_off = jnp.floor(rank.astype(jnp.float32)
-                       / gnx.astype(jnp.float32)).astype(jnp.int32)
-    tx = gx0 + rank - ty_off * gnx
-    ty = gy0 + ty_off
-    # Pad sentinel sorts after every real (and phantom-row) tile id.
-    pad_tile = jnp.int32(1 << 30)
-    tile = jnp.where(is_pad, pad_tile, ty * ntx + tx)
 
     # Per-gaussian packed rows (N+1, 16); row N stays zero for pad pairs, so
     # padding renders as alpha=0 and a garbage-free conic. Expanded to the
@@ -299,16 +312,36 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
         splats.xy, splats.conic, splats.color,
         splats.opacity[:, None], splats.depth[:, None],
     ], axis=-1)                                   # (N, 10)
-    packed = jnp.concatenate(
-        [body, jnp.zeros((1, NUM_FEATURES), jnp.float32)])
     gid_pre = jnp.where(is_pad, n, gid)
     # Fused single-key sort when the tile id and a useful depth share an
     # i32 (>=16 depth bits); exact two-pass (tile, full depth) otherwise.
     tile_bits = (num_tiles + 1).bit_length()
     if cfg.fused_sort_key and 31 - tile_bits >= 16:
+        packed = jnp.concatenate(
+            [jnp.concatenate(
+                [body, jax.lax.bitcast_convert_type(
+                    geom, jnp.float32)[:, None]], axis=-1),
+             jnp.zeros((1, NUM_FEATURES + 1), jnp.float32)])
         feats, tile_s, gid_s = _fused_sorted_feature_table(
-            packed, tile, gid_pre, jnp.int32(31 - tile_bits))
+            packed, rank, gid_pre, jnp.int32(31 - tile_bits),
+            jnp.int32(ntx))
     else:
+        # Exact path computes the destination tile here (one extra (P,)
+        # geometry gather; this is the debug/fallback path).
+        geom_g = geom[jnp.minimum(gid, n - 1)]
+        gx0 = geom_g & 0xFFF
+        gy0 = (geom_g >> 12) & 0xFFF
+        gnx = jnp.maximum(geom_g >> 24, 1)
+        # rank -> (dx, dy): rank < 256 and nx <= 16 make the f32
+        # rcp-multiply division floor-exact (the VPU has no int divider).
+        ty_off = jnp.floor(rank.astype(jnp.float32)
+                           / gnx.astype(jnp.float32)).astype(jnp.int32)
+        tx = gx0 + rank - ty_off * gnx
+        ty = gy0 + ty_off
+        # Pad sentinel sorts after every real (and phantom-row) tile id.
+        tile = jnp.where(is_pad, jnp.int32(1 << 30), ty * ntx + tx)
+        packed = jnp.concatenate(
+            [body, jnp.zeros((1, NUM_FEATURES), jnp.float32)])
         feats, tile_s, gid_s = _sorted_feature_table(packed, tile, gid_pre)
     pad_s = tile_s >= num_tiles
 
