@@ -31,7 +31,13 @@ log = logging.getLogger("gsplat")
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="TPU gaussian splat trainer")
-    p.add_argument("--input", required=True, help="PLY/XYZ scene")
+    p.add_argument("--input", default="", help="PLY/XYZ scene")
+    p.add_argument("--dataset", default="",
+                   help="transforms.json dataset (NeRF-synthetic / "
+                        "nerfstudio): train on its posed images instead "
+                        "of distilling a loaded scene")
+    p.add_argument("--downscale", type=int, default=1,
+                   help="--dataset: image downscale factor")
     p.add_argument("--log-level", default="info")
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--height", type=int, default=360)
@@ -76,28 +82,56 @@ def main(argv=None) -> int:
     from gaussian_splat_ipu_tpu.train import checkpoint, losses, trainer
     from gaussian_splat_ipu_tpu.utils.config import RasterConfig
 
-    scene = load_scene(args.input)
-    cfg = RasterConfig(image_width=args.width, image_height=args.height,
-                       pair_capacity=args.pair_capacity)
-    fov = float(np.radians(40.0))
-    aspect = args.width / args.height
-    extent = float(np.linalg.norm(scene.bb_max - scene.bb_min) * 0.5)
+    if not args.input and not args.dataset:
+        raise SystemExit("one of --input / --dataset is required")
 
-    cameras = [Camera.orbit(scene.bb_min, scene.bb_max, fov, aspect,
-                            rot_y_deg=360.0 * i / args.views)
-               for i in range(args.views)]
-
-    log.info("rendering %d target views at %dx%d from %d gaussians",
-             args.views, args.width, args.height, scene.num_gaussians)
     render_jit = jax.jit(render_image, static_argnums=(2, 3))
-    targets = [render_jit(scene.model, cam, cfg, True) for cam in cameras]
-
-    if args.mode == "distill":
-        n = args.init_gaussians or scene.num_gaussians
+    if args.dataset:
+        # Real posed images: cameras + targets come from the dataset, the
+        # model starts from random init inside the camera bounding sphere
+        # (standard 3DGS spatial_lr_scale convention).
+        from gaussian_splat_ipu_tpu.io import dataset as dataset_lib
+        fs = dataset_lib.load_transforms(args.dataset,
+                                         downscale=args.downscale)
+        cameras = fs.cameras
+        targets = [jnp.asarray(im) for im in fs.images]
+        args.views = len(cameras)
+        args.width, args.height = fs.width, fs.height
+        cfg = RasterConfig(image_width=fs.width, image_height=fs.height,
+                           pair_capacity=args.pair_capacity)
+        origins = np.stack([np.asarray(c.cam_origin) for c in cameras])
+        center = origins.mean(0)
+        extent = float(np.linalg.norm(origins - center, axis=1).max())
+        extent = max(extent, 1e-3)
+        n = args.init_gaussians or 20_000
         model = GaussianModel.random(jax.random.PRNGKey(0), n,
-                                     extent=extent)
+                                     extent=0.5 * extent)
+        log.info("dataset %s: %d views at %dx%d, camera extent %.2f",
+                 args.dataset, len(cameras), fs.width, fs.height, extent)
     else:
-        model = scene.model
+        scene = load_scene(args.input)
+        cfg = RasterConfig(image_width=args.width,
+                           image_height=args.height,
+                           pair_capacity=args.pair_capacity)
+        fov = float(np.radians(40.0))
+        aspect = args.width / args.height
+        extent = float(np.linalg.norm(scene.bb_max - scene.bb_min) * 0.5)
+
+        cameras = [Camera.orbit(scene.bb_min, scene.bb_max, fov, aspect,
+                                rot_y_deg=360.0 * i / args.views)
+                   for i in range(args.views)]
+
+        log.info("rendering %d target views at %dx%d from %d gaussians",
+                 args.views, args.width, args.height, scene.num_gaussians)
+        targets = [render_jit(scene.model, cam, cfg, True)
+                   for cam in cameras]
+
+        if args.mode == "distill":
+            n = args.init_gaussians or scene.num_gaussians
+            model = GaussianModel.random(jax.random.PRNGKey(0), n,
+                                         extent=extent)
+        else:
+            model = scene.model
 
     tc = trainer.TrainConfig(ssim_weight=args.ssim_weight,
                              scene_extent=extent)

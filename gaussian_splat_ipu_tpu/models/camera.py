@@ -59,6 +59,47 @@ class Camera:
 
     # -- constructors -------------------------------------------------------
     @classmethod
+    def look_at(cls, eye, center, up, fov_y_radians: float, aspect: float,
+                near: float = 0.01, far: float = 1000.0) -> "Camera":
+        """Free camera: look-at view + symmetric perspective frustum."""
+        view = transforms.look_at(jnp.asarray(eye, jnp.float32),
+                                  jnp.asarray(center, jnp.float32),
+                                  jnp.asarray(up, jnp.float32))
+        proj = transforms.perspective(fov_y_radians, aspect, near, far)
+        return cls(view, proj.astype(jnp.float32))
+
+    @classmethod
+    def from_intrinsics(cls, fx, fy, cx, cy, width: int, height: int,
+                        w2c, near: float = 0.01,
+                        far: float = 1000.0) -> "Camera":
+        """Pinhole camera from OpenCV/COLMAP-convention intrinsics.
+
+        fx/fy/cx/cy are in pixels with (0, 0) the top-left corner and v
+        increasing DOWNWARD; `w2c` is the (4, 4) world->camera transform
+        in the OpenCV axes convention (camera looks down +z, y down).
+        The renderer's camera looks down -z with no viewport flip
+        (clip_to_screen, ops/transforms.py), so the view flips z only and
+        the projection carries the principal-point offsets:
+
+            u = fx*X/Z + cx,  v = fy*Y/Z + cy
+
+        lands at rendered pixel (u, v) with row 0 the image's top row —
+        i.e. rendered arrays compare directly against images loaded
+        top-row-first (the universal image-file order).
+        """
+        w2c = jnp.asarray(w2c, jnp.float32)
+        view = w2c * jnp.array([[1.0], [1.0], [-1.0], [1.0]], jnp.float32)
+        w, h = float(width), float(height)
+        proj = jnp.array([
+            [2.0 * fx / w, 0.0, 1.0 - 2.0 * cx / w, 0.0],
+            [0.0, 2.0 * fy / h, 1.0 - 2.0 * cy / h, 0.0],
+            [0.0, 0.0, -(far + near) / (far - near),
+             -2.0 * far * near / (far - near)],
+            [0.0, 0.0, -1.0, 0.0],
+        ], jnp.float32)
+        return cls(view, proj)
+
+    @classmethod
     def orbit(cls, bb_min, bb_max, fov_radians: float, aspect: float,
               rot_x_deg=0.0, rot_y_deg=0.0, translation=(0.0, 0.0, 0.0),
               up=(0.0, 1.0, 1.0)) -> "Camera":

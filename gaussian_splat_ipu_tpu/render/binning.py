@@ -225,9 +225,13 @@ def _fused_sorted_feature_table_fwd(packed, rank, gid_pre, depth_keep_bits,
 def _fused_sorted_feature_table_bwd(res, cotangents):
     gid_s, n_rows = res
     rows = cotangents[0][:NUM_FEATURES].T          # (P, F)
-    # The geometry column is integer payload: no gradient.
-    dpacked = jnp.zeros((n_rows, NUM_FEATURES + 1), rows.dtype)
-    dpacked = dpacked.at[gid_s, :NUM_FEATURES].add(rows)
+    # Whole-row scatter-add, then a zero column for the integer geometry
+    # payload (mixing an advanced index with a column slice in one
+    # scatter lowers to a pathologically slow XLA scatter on TPU).
+    dbody = jnp.zeros((n_rows, NUM_FEATURES), rows.dtype)
+    dbody = dbody.at[gid_s].add(rows)
+    dpacked = jnp.concatenate(
+        [dbody, jnp.zeros((n_rows, 1), rows.dtype)], axis=-1)
     return dpacked, None, None, None, None
 
 
