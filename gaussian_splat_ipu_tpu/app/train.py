@@ -205,23 +205,48 @@ def main(argv=None) -> int:
                 body, state,
                 (cam_leaves_stacked, targets_stacked))
 
+    if args.densify:
+        from gaussian_splat_ipu_tpu.render.pipeline import render as _render
+        pair_probe = jax.jit(
+            lambda m: (lambda o: (o.num_pairs + o.overflow, o.overflow))(
+                _render(m, cameras[0], cfg, True)))
+
     t0 = time.perf_counter()
     loss = None
     i = 0
+    densify_open = True
     while i < args.steps:
         if args.densify:
             state, dstate, losses_ep = epoch_densify(state, dstate)
             loss = losses_ep[-1]
             i += args.views
             c = dcfg
-            if (c.densify_from_step <= i <= c.densify_until_step
+            if (densify_open
+                    and c.densify_from_step <= i <= c.densify_until_step
                     and i % c.densify_every == 0):
                 state, dstate = densify_lib.densify_and_prune(state, dstate,
                                                               c)
-                log.info("densify at step %d: %d gaussians alive", i,
-                         int(jnp.sum(dstate.alive)))
-            if c.reset_opacity_every and i % c.reset_opacity_every < args.views \
-                    and i >= c.reset_opacity_every:
+                # Guard the pair budget: overflowed pairs drop arbitrary
+                # gaussians and corrupt gradients (training diverges), so
+                # stop growing before demand reaches capacity.
+                demand, ovf = (int(x) for x in pair_probe(state.params))
+                if int(ovf) > 0:
+                    log.warning("pair overflow (%d dropped) — raise "
+                                "--pair-capacity", int(ovf))
+                if demand > int(0.8 * cfg.pair_capacity):
+                    densify_open = False
+                    log.info("pair demand %d near capacity %d: no further "
+                             "densification", demand, cfg.pair_capacity)
+                log.info("densify at step %d: %d gaussians alive "
+                         "(%d pairs)", i, int(jnp.sum(dstate.alive)),
+                         demand)
+            # Never reset opacities near the end: the model needs a few
+            # hundred steps to recover from a reset (3DGS resets every 3k
+            # only while densification continues).
+            if (c.reset_opacity_every
+                    and i % c.reset_opacity_every < args.views
+                    and i >= c.reset_opacity_every
+                    and i <= min(args.steps - 500, c.densify_until_step)):
                 state = densify_lib.reset_opacity(state, dstate, c)
         elif not use_dist and args.steps - i >= args.views:
             state, losses_ep = epoch(state)
