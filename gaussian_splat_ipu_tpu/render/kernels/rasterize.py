@@ -42,7 +42,9 @@ from gaussian_splat_ipu_tpu.utils.config import RasterConfig
 
 
 def _kernel(starts_ref, ends_ref, off_ref, feat_ref, out_ref, nc_ref,
-            chunk_buf, sems, *, cfg: RasterConfig):
+            chunk_buf, sems, *, cfg: RasterConfig, need_aux: bool = True):
+    """need_aux=False (inference): skip the per-pixel first-trigger
+    tracking and contributor-count output the backward replay needs."""
     lid = pl.program_id(0)           # local tile index within this shard
     tid = off_ref[0] + lid           # global flat tile id (pixel coords)
     c = cfg.chunk_size
@@ -151,12 +153,14 @@ def _kernel(starts_ref, ends_ref, off_ref, feat_ref, out_ref, nc_ref,
         frozen = jnp.max(t_pre * trig, axis=0, keepdims=True)
         t = jnp.where(stopped > 0.0, t,
                       jnp.where(chunk_any > 0.0, frozen, t * incl[-1:]))
-        # Track the first trigger's global pair index per pixel: the
-        # backward kernel replays compositing up to (excluding) it.
-        trig_pos = jnp.where(trig > 0.0, pos.astype(jnp.float32),
-                             jnp.float32(3e38))
-        stop_pos = jnp.minimum(stop_pos, jnp.min(trig_pos, axis=0,
-                                                 keepdims=True))
+        if need_aux:
+            # Track the first trigger's global pair index per pixel: the
+            # backward kernel replays compositing up to (excluding) it.
+            trig_pos = jnp.where(trig > 0.0, pos.astype(jnp.float32),
+                                 jnp.float32(3e38))
+            stop_pos = jnp.minimum(stop_pos,
+                                   jnp.min(trig_pos, axis=0,
+                                           keepdims=True))
         # A pixel that triggered anywhere in this chunk never resumes.
         stopped = jnp.maximum(stopped, chunk_any)
 
@@ -180,15 +184,16 @@ def _kernel(starts_ref, ends_ref, off_ref, feat_ref, out_ref, nc_ref,
                                     + t * cfg.background[ch])
     out_ref[0, 3:4, :] = 1.0 - t
     # Contributor count (pairs from `start`, trigger excluded — the spec
-    # breaks BEFORE blending, reference codelets.cpp:405-408). f32 is exact:
-    # pair indices < 2^24.
+    # breaks BEFORE blending, reference codelets.cpp:405-408). f32 is
+    # exact: pair indices < 2^24. Without aux tracking stop_pos stays at
+    # its init and this degrades to end - start (defined, unused).
     end_f = end.astype(jnp.float32)
     nc_ref[0, 0:1, :] = (jnp.minimum(stop_pos, end_f)
                          - start.astype(jnp.float32))
 
 
 def _pallas_forward(features, starts, ends, offset, cfg: RasterConfig,
-                    interpret: bool):
+                    interpret: bool, need_aux: bool = True):
     c = cfg.chunk_size
     npix = cfg.pixels_per_tile
     num_tiles = starts.shape[0]  # tiles in this shard (== cfg.num_tiles
@@ -215,7 +220,7 @@ def _pallas_forward(features, starts, ends, offset, cfg: RasterConfig,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_kernel, cfg=cfg)
+    kernel = functools.partial(_kernel, cfg=cfg, need_aux=need_aux)
     # Per tile: ~20 elementwise (C, NPIX) passes (alpha eval + doubling
     # scan) + the (3, C, NPIX) colour contraction.
     flops_est = npix * c * 26
@@ -499,8 +504,11 @@ def rasterize_tiles(binned: B.BinnedSplats, cfg: RasterConfig,
 
     @jax.custom_vjp
     def raster(features, starts, ends, offset):
+        # Primal (inference) path: the backward-replay aux (per-pixel
+        # first-trigger positions) is skipped; raster_fwd below runs the
+        # full kernel when differentiating.
         tiles, _ = _pallas_forward(features, starts, ends, offset, cfg,
-                                   interpret)
+                                   interpret, need_aux=False)
         return tiles.transpose(0, 2, 1)  # (T_local, NPIX, 4)
 
     def raster_fwd(features, starts, ends, offset):
