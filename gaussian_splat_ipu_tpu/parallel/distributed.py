@@ -51,6 +51,7 @@ class ShardedRenderOutput(NamedTuple):
     tile_counts: jnp.ndarray  # (rows_pad * tiles_x,) i32, sharded
     overflow: jnp.ndarray     # () i32, summed over devices (replicated)
     num_pairs: jnp.ndarray    # () i32, summed over devices (replicated)
+    visible: jnp.ndarray      # (N,) bool, gaussian-sharded frustum mask
 
 
 # -- packed projected-splat wire format (the all_gather payload) -----------
@@ -87,12 +88,19 @@ def _untile_rows(tiles: jnp.ndarray, cfg: RasterConfig,
 
 def render_sharded(model: GaussianModel, camera: Camera, cfg: RasterConfig,
                    mesh, axis: str = SHARD_AXIS, use_pallas: bool = True,
-                   pair_capacity: int | None = None) -> ShardedRenderOutput:
+                   pair_capacity: int | None = None,
+                   xy_probe: jnp.ndarray | None = None
+                   ) -> ShardedRenderOutput:
     """Render one frame across the mesh. Differentiable end-to-end.
 
     model must be sharded along N on `axis` (parallel.mesh.shard_model);
     camera is replicated. Returns the image sharded by tile rows. Jit with
     static cfg/mesh/axis/use_pallas/pair_capacity.
+
+    xy_probe: optional (N, 2) zeros sharded like the model — the screen-
+    space gradient probe for density control (train/densify.py): grads
+    w.r.t. it are per-gaussian pixel-position gradients, and they land
+    already sharded (the probe never crosses the mesh).
     """
     d = mesh.shape[axis]
     rows = _rows_per_device(cfg, d)
@@ -102,9 +110,12 @@ def render_sharded(model: GaussianModel, camera: Camera, cfg: RasterConfig,
         # rounded up to a chunk multiple (binning requires alignment).
         pair_capacity = max(2 * cfg.pair_capacity // d, 4 * cfg.chunk_size)
     pair_capacity = -(-pair_capacity // cfg.chunk_size) * cfg.chunk_size
+    if xy_probe is None:
+        xy_probe = jnp.zeros((model.num_gaussians, 2), jnp.float32)
 
-    def shard_fn(model_shard, camera_rep):
-        sp_local = project_gaussians(model_shard, camera_rep, cfg)
+    def shard_fn(model_shard, camera_rep, probe_shard):
+        sp_local = project_gaussians(model_shard, camera_rep, cfg,
+                                     xy_probe=probe_shard)
         packed = _pack_splats(sp_local)
         all_packed = jax.lax.all_gather(packed, axis, axis=0, tiled=True)
         sp = _unpack_splats(all_packed)
@@ -123,18 +134,19 @@ def render_sharded(model: GaussianModel, camera: Camera, cfg: RasterConfig,
         counts = binned.tile_ends - binned.tile_starts
         overflow = jax.lax.psum(binned.overflow, axis)
         num_pairs = jax.lax.psum(binned.num_pairs, axis)
-        return tiles, counts, overflow, num_pairs
+        return tiles, counts, overflow, num_pairs, sp_local.radius > 0.0
 
-    tiles, counts, overflow, num_pairs = shard_map(
+    tiles, counts, overflow, num_pairs, visible = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(axis), P()),
-        out_specs=(P(axis), P(axis), P(), P()),
+        in_specs=(P(axis), P(), P(axis)),
+        out_specs=(P(axis), P(axis), P(), P(), P(axis)),
         check_vma=False,  # custom_vjp inside defeats the varying-axis check
-    )(model, camera)
+    )(model, camera, xy_probe)
 
     image = _untile_rows(tiles, cfg, rows * d)
     return ShardedRenderOutput(image=image, tile_counts=counts,
-                               overflow=overflow, num_pairs=num_pairs)
+                               overflow=overflow, num_pairs=num_pairs,
+                               visible=visible)
 
 
 def render_image_sharded(model, camera, cfg: RasterConfig, mesh,
@@ -240,6 +252,61 @@ def make_view_batch_train_step(mesh, raster_cfg: RasterConfig,
             opacities=params.opacities, sh=params.sh)
         return trainer.TrainState(params=params, opt_state=opt_state,
                                   step=state.step + 1), loss
+
+    return step
+
+
+def make_sharded_densify_train_step(mesh, raster_cfg: RasterConfig,
+                                    train_cfg: trainer.TrainConfig,
+                                    axis: str = SHARD_AXIS,
+                                    use_pallas: bool = True,
+                                    pair_capacity: int | None = None):
+    """Distributed train step with density-control statistics.
+
+    step(state, dstate, camera, target) -> (state, dstate, loss): the
+    sharded analogue of train.densify.make_train_step — screen gradients
+    come from a zero probe that is sharded like the model, so the stats
+    accumulate shard-locally with no extra collectives. Between-event
+    surgery (train.densify.densify_and_prune / reset_opacity) runs on the
+    sharded state directly under jit: the rank-and-scatter is global over
+    the slot buffer, and GSPMD inserts the collectives it needs (events
+    are rare, every densify_every steps).
+    """
+    from gaussian_splat_ipu_tpu.train import densify as densify_lib
+
+    tx = trainer.make_optimizer(train_cfg)
+    half_wh = jnp.array([0.5 * raster_cfg.image_width,
+                         0.5 * raster_cfg.image_height], jnp.float32)
+
+    def loss_fn(params, probe, camera, target):
+        out = render_sharded(params, camera, raster_cfg, mesh, axis,
+                             use_pallas, pair_capacity, xy_probe=probe)
+        return (loss_lib.render_loss(out.image, target,
+                                     train_cfg.ssim_weight), out.visible)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(state: trainer.TrainState, dstate, camera: Camera,
+             target: jnp.ndarray):
+        probe = jnp.zeros((state.params.num_gaussians, 2), jnp.float32)
+        (loss, visible), (grads, gxy) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(
+            state.params, probe, camera, target)
+        gnorm = jnp.linalg.norm(gxy * half_wh[None, :], axis=-1)
+        dstate = densify_lib.DensifyState(
+            grad_sum=dstate.grad_sum + jnp.where(visible, gnorm, 0.0),
+            vis_count=dstate.vis_count + visible.astype(jnp.int32),
+            alive=dstate.alive, key=dstate.key)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        params = GaussianModel(
+            means=params.means, log_scales=params.log_scales,
+            quats=params.quats / jnp.maximum(
+                jnp.linalg.norm(params.quats, axis=-1, keepdims=True),
+                1e-8),
+            opacities=params.opacities, sh=params.sh)
+        return trainer.TrainState(params=params, opt_state=opt_state,
+                                  step=state.step + 1), dstate, loss
 
     return step
 
