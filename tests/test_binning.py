@@ -144,3 +144,20 @@ def test_fused_key_gradients_flow():
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_exact),
                                rtol=1e-6)
     assert np.abs(np.asarray(g_fused)).max() > 0
+
+
+def test_huge_tile_grid_falls_back_to_exact_sort():
+    """num_tiles too large for a fused (tile, depth) i32 key -> the exact
+    two-pass path is selected and still bins correctly."""
+    cfg = RasterConfig(image_width=4096, image_height=1024, tile_width=8,
+                       tile_height=8, pair_capacity=256, chunk_size=8,
+                       max_chunks_per_tile=8)
+    assert 31 - (cfg.num_tiles + 1).bit_length() < 16  # forces fallback
+    s = make_splats([[4.0, 4.0], [12.0, 4.0]], [2.0, 2.0],
+                    depth=[2.0, 1.0])
+    b = binning.bin_splats(s, cfg)
+    assert int(b.num_pairs) == 2
+    assert int(b.overflow) == 0
+    # Each gaussian lands on its own tile, correct CSR ranges.
+    assert int(b.tile_ends[0] - b.tile_starts[0]) == 1
+    assert int(b.tile_ends[1] - b.tile_starts[1]) == 1
