@@ -138,9 +138,15 @@ class InterfaceServer:
     def send_preview_image(self, image, exposure: float = 1.0,
                            gamma: float = 1.0) -> None:
         """Encode the framebuffer and push it (the reference pushes FFmpeg
-        video packets, InterfaceServer.hpp:322-328; we push PNG frames)."""
+        video packets, InterfaceServer.hpp:322-328; we push compressed
+        still frames: JPEG when PIL is available — the lossy low-bandwidth
+        stream role — else the dependency-free PNG). Clients distinguish
+        by the payload magic bytes."""
         arr = image_util.to_uint8(np.asarray(image), exposure, gamma)
-        self._send("render_preview", image_util.encode_png(arr))
+        payload = image_util.encode_jpeg(arr)
+        if payload is None:
+            payload = image_util.encode_png(arr)
+        self._send("render_preview", payload)
 
     def send_histogram(self, counts) -> None:
         payload = json.dumps(

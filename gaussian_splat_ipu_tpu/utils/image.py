@@ -58,6 +58,30 @@ def write_png(path: str, image: np.ndarray) -> None:
         f.write(encode_png(image))
 
 
+def encode_jpeg(image: np.ndarray, quality: int = 85):
+    """u8 (H, W[, C]) -> JPEG bytes via PIL, or None when PIL is absent.
+
+    The lossy preview codec standing in for the reference's FFmpeg video
+    stream (remote_ui/InterfaceServer.hpp:100-108): ~10x smaller frames
+    than PNG on typical renders, far cheaper to encode. Alpha is dropped
+    (JPEG has none) — previews are composited over the background anyway.
+    """
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+
+    img = np.asarray(image)
+    if img.dtype != np.uint8:
+        img = to_uint8(img)
+    if img.ndim == 3 and img.shape[-1] == 4:
+        img = img[..., :3]
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=quality)
+    return buf.getvalue()
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes -> u8 array. Supports what encode_png emits (8-bit,
     non-interlaced, filter types 0-4)."""

@@ -97,8 +97,15 @@ class TestInterfaceServer:
             srv.send_histogram(np.arange(4))
             ptype, payload = cli.recv()
             assert ptype == "render_preview"
-            decoded = image_util.decode_png(payload)
-            assert decoded.shape == (8, 8, 4)
+            if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                decoded = image_util.decode_png(payload)
+                assert decoded.shape == (8, 8, 4)
+            else:                      # JPEG (PIL available): FFmpeg role
+                import io
+
+                from PIL import Image
+                decoded = np.asarray(Image.open(io.BytesIO(payload)))
+                assert decoded.shape[:2] == (8, 8)
             ptype, payload = cli.recv()
             assert ptype == "tile_histogram"
             cli.close()
