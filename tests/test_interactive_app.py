@@ -73,8 +73,16 @@ def test_interactive_session(tmp_path):
         got[ptype] = payload
     assert "render_preview" in got
     assert "tile_histogram" in got
-    frame = image_util.decode_png(got["render_preview"])
-    assert frame.shape == (64, 64, 4)
+    preview = got["render_preview"]
+    if preview[:8] == b"\x89PNG\r\n\x1a\n":
+        frame = image_util.decode_png(preview)
+        assert frame.shape == (64, 64, 4)
+    else:                              # JPEG preview (PIL available)
+        import io
+
+        from PIL import Image
+        frame = np.asarray(Image.open(io.BytesIO(preview)))
+        assert frame.shape[:2] == (64, 64)
 
     client.send("stop")
     t.join(timeout=60)
