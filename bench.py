@@ -79,8 +79,8 @@ def main():
         return out.num_pairs + out.overflow
 
     probe = jax.jit(demand_at)
-    demand = max(int(probe(model, jnp.float32(a)))
-                 for a in np.linspace(0.0, 360.0, 16))
+    demand = max(max(int(probe(model, jnp.float32(a)))
+                     for a in np.linspace(0.0, 360.0, 16)), 1)
     cap = max(1 << int(np.ceil(np.log2(1.5 * demand))), 4 * cfg.chunk_size)
     if cap < cfg.pair_capacity:
         cfg = dataclasses.replace(cfg, pair_capacity=cap)

@@ -166,9 +166,10 @@ def main(argv=None) -> int:
                 {k: np.float32(v) for k, v in state.items()})
             inflight.append((image_d, counts_d, time.perf_counter()))
 
-            if len(inflight) >= max(args.frames_in_flight, 1):
-                image_d, counts_d, t_submit = inflight.popleft()
-                image_d.block_until_ready()
+            def retire_one():
+                nonlocal t_last_retire, last_image
+                img_d, cnt_d, t_submit = inflight.popleft()
+                img_d.block_until_ready()
                 now = time.perf_counter()
                 if t_last_retire is not None and i % 30 == 0:
                     dt = max(now - t_last_retire, 1e-9)
@@ -177,32 +178,38 @@ def main(argv=None) -> int:
                              1.0 / dt, n / dt / 1e6,
                              (now - t_submit) * 1e3)
                 t_last_retire = now
-                last_image = image_d
+                last_image = img_d
 
                 if ui is not None:
                     # Overlap encode/send with the next frame
                     # (splat.cpp:280-283 double-buffering via AsyncTask).
                     ui_task.wait_for_completion()
-                    image_host = np.asarray(image_d)
-                    counts_host = np.asarray(counts_d)
+                    img_host = np.asarray(img_d)
+                    cnt_host = np.asarray(cnt_d)
 
-                    def push(img=image_host, cnt=counts_host, ex=exposure,
+                    def push(img=img_host, cnt=cnt_host, ex=exposure,
                              gm=gamma):
                         ui.send_preview_image(img, ex, gm)
                         ui.send_histogram(cnt)
 
                     ui_task.run(push)
 
+            if len(inflight) >= max(args.frames_in_flight, 1):
+                retire_one()
+
             i += 1
             if not interactive and i >= nframes:
                 break
+
+        # Drain through the same retire path so every frame — including
+        # the whole pipeline of a short run — reaches the UI.
+        while inflight:
+            retire_one()
     finally:
         if ui is not None:
             ui_task.wait_for_completion()
             ui.stop()
 
-    while inflight:  # drain the pipeline; the newest frame is the dump
-        last_image, _, _ = inflight.popleft()
     image_util.write_png(args.output, np.asarray(last_image))
     log.info("wrote %s", args.output)
     return 0

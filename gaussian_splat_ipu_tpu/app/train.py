@@ -207,9 +207,16 @@ def main(argv=None) -> int:
 
     if args.densify:
         from gaussian_splat_ipu_tpu.render.pipeline import render as _render
-        pair_probe = jax.jit(
-            lambda m: (lambda o: (o.num_pairs + o.overflow, o.overflow))(
-                _render(m, cameras[0], cfg, True)))
+        _probe_one = jax.jit(
+            lambda m, c: (lambda o: (o.num_pairs + o.overflow, o.overflow))(
+                _render(m, c, cfg, True)))
+
+        def pair_probe(params):
+            # Worst view governs: a guard probing only view 0 can pass
+            # while other views overflow every epoch.
+            demands = [_probe_one(params, c) for c in cameras]
+            return (max(int(d) for d, _ in demands),
+                    max(int(o) for _, o in demands))
 
     t0 = time.perf_counter()
     loss = None
@@ -229,7 +236,7 @@ def main(argv=None) -> int:
                 # Guard the pair budget: overflowed pairs drop arbitrary
                 # gaussians and corrupt gradients (training diverges), so
                 # stop growing before demand reaches capacity.
-                demand, ovf = (int(x) for x in pair_probe(state.params))
+                demand, ovf = pair_probe(state.params)
                 if int(ovf) > 0:
                     log.warning("pair overflow (%d dropped) — raise "
                                 "--pair-capacity", int(ovf))
@@ -240,10 +247,10 @@ def main(argv=None) -> int:
                 log.info("densify at step %d: %d gaussians alive "
                          "(%d pairs)", i, int(jnp.sum(dstate.alive)),
                          demand)
-            # Never reset opacities near the end: the model needs a few
-            # hundred steps to recover from a reset (3DGS resets every 3k
-            # only while densification continues).
-            if (c.reset_opacity_every
+            # Reset only while densification is still running (pruning must
+            # be able to harvest the reset) and never near the end: the
+            # model needs a few hundred steps to recover from a reset.
+            if (densify_open and c.reset_opacity_every
                     and i % c.reset_opacity_every < args.views
                     and i >= c.reset_opacity_every
                     and i <= min(args.steps - 500, c.densify_until_step)):

@@ -54,17 +54,19 @@ class FrameSet:
         return cams, jnp.stack([jnp.asarray(im) for im in self.images])
 
 
-def _load_image(path: str, downscale: int) -> np.ndarray:
+def _load_image(path: str, downscale: int):
+    """Returns (array f32 [0,1], original (W0, H0) before any resize)."""
     from PIL import Image
 
     img = Image.open(path)
+    orig = (img.width, img.height)
     if downscale > 1:
         img = img.resize((img.width // downscale, img.height // downscale),
                          Image.BILINEAR)
     arr = np.asarray(img, dtype=np.float32) / 255.0
     if arr.ndim == 2:
         arr = np.repeat(arr[..., None], 3, axis=-1)
-    return arr
+    return arr, orig
 
 
 def load_transforms(path: str, downscale: int = 1,
@@ -96,7 +98,7 @@ def load_transforms(path: str, downscale: int = 1,
         img_path = os.path.join(root, file_path)
         if not os.path.splitext(img_path)[1]:
             img_path += ".png"              # blender style bare stems
-        img = _load_image(img_path, downscale)
+        img, (w0, h0) = _load_image(img_path, downscale)
         h, w = img.shape[:2]
         if width is None:
             width, height = w, h
@@ -107,10 +109,14 @@ def load_transforms(path: str, downscale: int = 1,
             return fr.get(name, meta.get(name, default))
 
         if field("fl_x") is not None:
-            s = 1.0 / downscale
-            fx, fy = field("fl_x") * s, field("fl_y", field("fl_x")) * s
-            cx = field("cx", w * 0.5 / s) * s
-            cy = field("cy", h * 0.5 / s) * s
+            # Scale by the ACTUAL resize ratio, not 1/downscale: the
+            # resize floors dimensions, and for non-divisible sizes the
+            # exact ratio differs by up to half a pixel of calibration.
+            sx, sy = w / w0, h / h0
+            fx = field("fl_x") * sx
+            fy = field("fl_y", field("fl_x")) * sy
+            cx = field("cx", w0 * 0.5) * sx
+            cy = field("cy", h0 * 0.5) * sy
         else:
             cax = float(meta["camera_angle_x"])
             fx = fy = 0.5 * w / np.tan(0.5 * cax)

@@ -31,7 +31,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import optax
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
@@ -242,14 +241,8 @@ def make_view_batch_train_step(mesh, raster_cfg: RasterConfig,
     def step(state: trainer.TrainState, cameras, targets):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, cameras,
                                                   targets)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        params = GaussianModel(
-            means=params.means, log_scales=params.log_scales,
-            quats=params.quats / jnp.maximum(
-                jnp.linalg.norm(params.quats, axis=-1, keepdims=True),
-                1e-8),
-            opacities=params.opacities, sh=params.sh)
+        params, opt_state = trainer.apply_param_updates(
+            tx, state.params, grads, state.opt_state)
         return trainer.TrainState(params=params, opt_state=opt_state,
                                   step=state.step + 1), loss
 
@@ -297,14 +290,8 @@ def make_sharded_densify_train_step(mesh, raster_cfg: RasterConfig,
             vis_count=dstate.vis_count + visible.astype(jnp.int32),
             alive=dstate.alive, key=dstate.key)
 
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        params = GaussianModel(
-            means=params.means, log_scales=params.log_scales,
-            quats=params.quats / jnp.maximum(
-                jnp.linalg.norm(params.quats, axis=-1, keepdims=True),
-                1e-8),
-            opacities=params.opacities, sh=params.sh)
+        params, opt_state = trainer.apply_param_updates(
+            tx, state.params, grads, state.opt_state)
         return trainer.TrainState(params=params, opt_state=opt_state,
                                   step=state.step + 1), dstate, loss
 
@@ -336,14 +323,8 @@ def make_sharded_train_step(mesh, raster_cfg: RasterConfig,
              target: jnp.ndarray):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, camera,
                                                   target)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        params = GaussianModel(
-            means=params.means, log_scales=params.log_scales,
-            quats=params.quats / jnp.maximum(
-                jnp.linalg.norm(params.quats, axis=-1, keepdims=True),
-                1e-8),
-            opacities=params.opacities, sh=params.sh)
+        params, opt_state = trainer.apply_param_updates(
+            tx, state.params, grads, state.opt_state)
         return trainer.TrainState(params=params, opt_state=opt_state,
                                   step=state.step + 1), loss
 

@@ -319,7 +319,14 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
     gid_pre = jnp.where(is_pad, n, gid)
     # Fused single-key sort when the tile id and a useful depth share an
     # i32 (>=16 depth bits); exact two-pass (tile, full depth) otherwise.
-    tile_bits = (num_tiles + 1).bit_length()
+    # The pad sentinel recovers as the all-ones tile id (2^tile_bits - 1),
+    # so the bit budget must cover the largest tile id the CSR queries —
+    # on the last device of an uneven row sharding that includes PHANTOM
+    # rows past the grid (up to row_lo + num_rows - 1), not just
+    # num_tiles - 1; otherwise pads collide with a phantom tile and its
+    # range spans the whole pad tail.
+    max_query_tid = (cfg.tiles_y + num_rows) * ntx
+    tile_bits = (max_query_tid + 1).bit_length()
     if cfg.fused_sort_key and 31 - tile_bits >= 16:
         packed = jnp.concatenate(
             [jnp.concatenate(

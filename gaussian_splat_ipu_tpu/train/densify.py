@@ -37,7 +37,6 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from gaussian_splat_ipu_tpu.models.camera import Camera
 from gaussian_splat_ipu_tpu.models.gaussians import GaussianModel
@@ -158,14 +157,8 @@ def make_train_step(raster_cfg: RasterConfig, train_cfg: trainer.TrainConfig,
             vis_count=dstate.vis_count + visible.astype(jnp.int32),
             alive=dstate.alive, key=dstate.key)
 
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        params = GaussianModel(
-            means=params.means, log_scales=params.log_scales,
-            quats=params.quats / jnp.maximum(
-                jnp.linalg.norm(params.quats, axis=-1, keepdims=True),
-                1e-8),
-            opacities=params.opacities, sh=params.sh)
+        params, opt_state = trainer.apply_param_updates(
+            tx, state.params, grads, state.opt_state)
         return trainer.TrainState(params=params, opt_state=opt_state,
                                   step=state.step + 1), dstate, loss
 
@@ -362,7 +355,12 @@ def fit_densify(model: GaussianModel, cameras, targets,
         if (c.densify_from_step <= it <= c.densify_until_step
                 and it % c.densify_every == 0):
             state, dstate = densify_and_prune(state, dstate, c)
-        if c.reset_opacity_every and it % c.reset_opacity_every == 0:
+        # Reset only while densification continues AND with recovery room
+        # before the end: a reset on the final steps returns a
+        # near-transparent model (3DGS resets every 3k only during the
+        # densification phase).
+        if (c.reset_opacity_every and it % c.reset_opacity_every == 0
+                and it <= min(num_steps - 500, c.densify_until_step)):
             state = reset_opacity(state, dstate, c)
         if log_every and (i % log_every == 0 or i == num_steps - 1):
             history.append((i, float(loss),

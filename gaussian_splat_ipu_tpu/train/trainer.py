@@ -85,6 +85,25 @@ def loss_fn(params: GaussianModel, camera: Camera, target: jnp.ndarray,
     return losses.render_loss(image, target, train_cfg.ssim_weight)
 
 
+def apply_param_updates(tx: optax.GradientTransformation,
+                        params: GaussianModel, grads: GaussianModel,
+                        opt_state: optax.OptState):
+    """Optimizer update + quaternion renormalisation, shared by every
+    train-step variant (single-device, view-batch, sharded, densify).
+
+    Renormalising quats after the step: standard 3DGS keeps raw quats and
+    normalises in covariance_3d; doing both keeps them well-scaled.
+    """
+    updates, opt_state = tx.update(grads, opt_state, params)
+    p = optax.apply_updates(params, updates)
+    p = GaussianModel(
+        means=p.means, log_scales=p.log_scales,
+        quats=p.quats / jnp.maximum(
+            jnp.linalg.norm(p.quats, axis=-1, keepdims=True), 1e-8),
+        opacities=p.opacities, sh=p.sh)
+    return p, opt_state
+
+
 def train_step(state: TrainState, camera: Camera, target: jnp.ndarray,
                raster_cfg: RasterConfig, train_cfg: TrainConfig,
                use_pallas: bool = True
@@ -97,18 +116,8 @@ def train_step(state: TrainState, camera: Camera, target: jnp.ndarray,
     tx = make_optimizer(train_cfg)
     loss, grads = jax.value_and_grad(loss_fn)(
         state.params, camera, target, raster_cfg, train_cfg, use_pallas)
-    updates, opt_state = tx.update(grads, state.opt_state, state.params)
-    params = optax.apply_updates(state.params, updates)
-    # Renormalise quaternions after the step (standard 3DGS keeps raw quats
-    # and normalises in covariance_3d; doing both keeps them well-scaled).
-    params = GaussianModel(
-        means=params.means,
-        log_scales=params.log_scales,
-        quats=params.quats / jnp.maximum(
-            jnp.linalg.norm(params.quats, axis=-1, keepdims=True), 1e-8),
-        opacities=params.opacities,
-        sh=params.sh,
-    )
+    params, opt_state = apply_param_updates(tx, state.params, grads,
+                                            state.opt_state)
     return TrainState(params=params, opt_state=opt_state,
                       step=state.step + 1), loss
 

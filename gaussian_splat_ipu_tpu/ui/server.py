@@ -9,7 +9,9 @@ length-prefixed framing — each packet is
     [4-byte big-endian payload length][4-byte big-endian type length]
     [type name utf-8][payload bytes]
 
-with JSON payloads for control packets and PNG bytes for frames. The packet
+with JSON payloads for control packets and compressed image bytes for
+frames — JPEG when PIL is available (the reference's lossy FFmpeg video
+role), PNG otherwise; clients dispatch on the payload magic. The packet
 vocabulary mirrors the reference's (InterfaceServer.hpp:24-43):
 stop, detach, env_rotation, exposure, gamma, X, Y, Z (translation),
 lambda1/lambda2 (rot x/y), fov, device, ready, tile_histogram,

@@ -161,3 +161,23 @@ def test_huge_tile_grid_falls_back_to_exact_sort():
     # Each gaussian lands on its own tile, correct CSR ranges.
     assert int(b.tile_ends[0] - b.tile_starts[0]) == 1
     assert int(b.tile_ends[1] - b.tile_starts[1]) == 1
+
+
+def test_fused_pad_sentinel_clears_phantom_rows():
+    """Uneven row sharding: the last device's CSR queries include phantom
+    tile ids past the grid; pads must sort AFTER all of them (regression:
+    a 2^tile_bits-1 sentinel equal to a phantom tid swallowed the pad
+    tail into that tile's range)."""
+    cfg = RasterConfig(image_width=800, image_height=320, tile_width=8,
+                       tile_height=8, pair_capacity=256, chunk_size=8,
+                       max_chunks_per_tile=8)
+    assert cfg.tiles_x == 100 and cfg.tiles_y == 40  # num_tiles = 4000
+    # 3-way sharding: 14 rows/device; device 2 covers rows 28..41 where
+    # rows 40-41 are phantom (tids 4000..4199 get queried).
+    s = make_splats([[4.0, 300.0]], [2.0])  # one real pair in row 37
+    b = binning.bin_splats(s, cfg, row_lo=28, num_rows=14,
+                           pair_capacity=256)
+    counts = np.asarray(b.tile_ends - b.tile_starts)
+    assert counts.sum() == 1  # only the real pair, nothing from pads
+    # Phantom-row tiles (local rows 12-13) are all empty.
+    assert counts[12 * 100:].sum() == 0
