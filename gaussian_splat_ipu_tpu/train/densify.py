@@ -110,6 +110,39 @@ def pad_model(model: GaussianModel, capacity: int) -> GaussianModel:
         sh=padded.sh)
 
 
+def grow_capacity(state: "trainer.TrainState", dstate: DensifyState,
+                  new_capacity: int):
+    """Host-side capacity growth: pad the slot buffer (params, optimizer
+    moments, stats) with dead slots at the end. The one operation that
+    changes shapes — every subsequent step/event recompiles once for the
+    new capacity and is static again.
+    """
+    old = dstate.alive.shape[0]
+    if new_capacity < old:
+        raise ValueError(f"new capacity {new_capacity} < current {old}")
+    if new_capacity == old:
+        return state, dstate
+    params = pad_model(state.params, new_capacity)
+    pad = new_capacity - old
+
+    def pad_rows(leaf):
+        if (isinstance(leaf, jnp.ndarray) and leaf.ndim >= 1
+                and leaf.shape[0] == old):
+            widths = [(0, pad)] + [(0, 0)] * (leaf.ndim - 1)
+            return jnp.pad(leaf, widths)
+        return leaf
+
+    opt_state = jax.tree.map(pad_rows, state.opt_state)
+    new_state = trainer.TrainState(params=params, opt_state=opt_state,
+                                   step=state.step)
+    new_dstate = DensifyState(
+        grad_sum=jnp.pad(dstate.grad_sum, (0, pad)),
+        vis_count=jnp.pad(dstate.vis_count, (0, pad)),
+        alive=jnp.pad(dstate.alive, (0, pad)),
+        key=dstate.key)
+    return new_state, new_dstate
+
+
 def compact(model: GaussianModel, dstate: DensifyState) -> GaussianModel:
     """Host-side: drop dead slots (e.g. before checkpointing / rendering).
 

@@ -171,3 +171,32 @@ def test_fit_densify_end_to_end():
     assert all(np.isfinite(l) for _, l, _ in history)
     # Compact output has no parked slots.
     assert (np.asarray(out.opacities) > densify._DEAD_OPACITY + 1.0).all()
+
+
+def test_grow_capacity_extends_slot_buffer():
+    state, dstate = _padded_state(6, 8, log_scale=-8.0)
+    dstate = dstate._replace(
+        grad_sum=dstate.grad_sum + 1.0,
+        vis_count=dstate.vis_count + 1)
+    # Only 2 free slots: 6 clone candidates, 4 dropped.
+    s1, d1 = densify.densify_and_prune(state, dstate,
+                                       densify.DensifyConfig())
+    assert int(jnp.sum(d1.alive)) == 8
+
+    # Grow 8 -> 16, re-accumulate, densify again: new slots fill.
+    s2, d2 = densify.grow_capacity(s1, d1, 16)
+    assert s2.params.num_gaussians == 16
+    assert int(jnp.sum(d2.alive)) == 8
+    # Appended slots are parked invisible.
+    assert float(s2.params.opacities[8:].max()) <= -29.0
+    d2 = d2._replace(grad_sum=d2.grad_sum.at[:8].add(1.0),
+                     vis_count=d2.vis_count.at[:8].add(1))
+    s3, d3 = densify.densify_and_prune(s2, d2, densify.DensifyConfig())
+    assert int(jnp.sum(d3.alive)) == 16
+
+    # Training continues at the new capacity.
+    step = densify.make_train_step(CFG, trainer.TrainConfig(ssim_weight=0.0),
+                                   use_pallas=False)
+    target = jnp.zeros((64, 64, 4), jnp.float32)
+    s4, d4, loss = step(s3, d3, _cam(), target)
+    assert np.isfinite(float(loss))
