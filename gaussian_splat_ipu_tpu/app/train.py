@@ -64,6 +64,10 @@ def parse_args(argv=None):
     p.add_argument("--densify-grad-threshold", type=float, default=2e-4)
     p.add_argument("--densify-from", type=int, default=500)
     p.add_argument("--densify-until", type=int, default=15_000)
+    p.add_argument("--auto-grow", action="store_true",
+                   help="--densify: double the slot-buffer capacity when "
+                        "90%% full (one recompile per growth) instead of "
+                        "dropping lowest-priority births")
     return p.parse_args(argv)
 
 
@@ -244,9 +248,16 @@ def main(argv=None) -> int:
                     densify_open = False
                     log.info("pair demand %d near capacity %d: no further "
                              "densification", demand, cfg.pair_capacity)
+                alive_now = int(jnp.sum(dstate.alive))
+                slot_cap = state.params.num_gaussians
+                if (args.auto_grow and densify_open
+                        and alive_now > int(0.9 * slot_cap)):
+                    state, dstate = densify_lib.grow_capacity(
+                        state, dstate, 2 * slot_cap)
+                    log.info("slot buffer grown to %d (one recompile)",
+                             2 * slot_cap)
                 log.info("densify at step %d: %d gaussians alive "
-                         "(%d pairs)", i, int(jnp.sum(dstate.alive)),
-                         demand)
+                         "(%d pairs)", i, alive_now, demand)
             # Reset only while densification is still running (pruning must
             # be able to harvest the reset) and never near the end: the
             # model needs a few hundred steps to recover from a reset.

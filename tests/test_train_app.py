@@ -123,3 +123,22 @@ def test_multihost_helpers_single_process():
     assert multihost.is_primary()
     lo, hi = multihost.local_shard_bounds(100)
     assert (lo, hi) == (0, 100)
+
+
+def test_train_cli_densify_auto_grow(tmp_path, capsys):
+    from gaussian_splat_ipu_tpu.app import train as train_app
+
+    scene = str(tmp_path / "scene.ply")
+    _write_scene(scene, n=48)
+    rc = train_app.main([
+        "--input", scene, "--width", "64", "--height", "64",
+        "--steps", "8", "--views", "2", "--mode", "distill",
+        "--init-gaussians", "24", "--ssim-weight", "0.0",
+        "--pair-capacity", str(1 << 12),
+        "--densify", "--capacity", "32", "--densify-from", "2",
+        "--densify-every", "2", "--densify-grad-threshold", "1e-7",
+        "--auto-grow", "--log-level", "off",
+    ])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert np.isfinite(float(line.split()[0].split("=")[1]))
