@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import time
 
 import numpy as np
@@ -42,6 +43,9 @@ def parse_args(argv=None):
                         "(0 = single frame)")
     p.add_argument("--output", default="test.png",
                    help="final frame dump (splat.cpp:326 parity)")
+    p.add_argument("--dump-frames", default="",
+                   help="directory to write EVERY retired frame as "
+                        "frame_%%05d.png (turntable/video export)")
     p.add_argument("--pair-capacity", type=int, default=1 << 19)
     p.add_argument("--compile-cache", default="",
                    help="persistent XLA compile cache dir "
@@ -137,6 +141,9 @@ def main(argv=None) -> int:
     inflight = collections.deque()
     t_last_retire = None
     last_image = None
+    n_retired = 0
+    if args.dump_frames:
+        os.makedirs(args.dump_frames, exist_ok=True)
 
     i = 0
     stop = False
@@ -167,9 +174,15 @@ def main(argv=None) -> int:
             inflight.append((image_d, counts_d, time.perf_counter()))
 
             def retire_one():
-                nonlocal t_last_retire, last_image
+                nonlocal t_last_retire, last_image, n_retired
                 img_d, cnt_d, t_submit = inflight.popleft()
                 img_d.block_until_ready()
+                if args.dump_frames:
+                    image_util.write_png(
+                        os.path.join(args.dump_frames,
+                                     f"frame_{n_retired:05d}.png"),
+                        np.asarray(img_d))
+                n_retired += 1
                 now = time.perf_counter()
                 if t_last_retire is not None and i % 30 == 0:
                     dt = max(now - t_last_retire, 1e-9)

@@ -196,3 +196,28 @@ class TestAppCli:
         with open(out, "rb") as f:
             img = image_util.decode_png(f.read())
         assert img.shape == (64, 64, 4)
+
+
+def test_headless_dump_frames(tmp_path):
+    import os
+
+    from gaussian_splat_ipu_tpu.app import main as app_main
+    from tests.test_train_app import _write_scene
+
+    scene = str(tmp_path / "scene.ply")
+    _write_scene(scene, n=32)
+    out = str(tmp_path / "final.png")
+    frames_dir = str(tmp_path / "frames")
+    rc = app_main.main([
+        "--input", scene, "--width", "64", "--height", "64",
+        "--frames", "3", "--device", "cpu", "--output", out,
+        "--dump-frames", frames_dir,
+        "--pair-capacity", str(1 << 10), "--log-level", "off",
+    ])
+    assert rc == 0
+    dumped = sorted(os.listdir(frames_dir))
+    assert dumped == ["frame_00000.png", "frame_00001.png",
+                      "frame_00002.png"]
+    img = image_util.decode_png(
+        open(os.path.join(frames_dir, dumped[0]), "rb").read())
+    assert img.shape == (64, 64, 4)
