@@ -139,3 +139,18 @@ def splat_radius(a, b, c):
     """
     l1, _ = eigenvalues_2d(a, b, c)
     return jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(l1, 0.0)))
+
+
+def splat_extent(a, c):
+    """Exact per-axis half-extents (rx, ry) of the 3-sigma ellipse, ceil'd.
+
+    The axis-aligned bounding box of {d : d^T Sigma^-1 d <= 9} has half
+    extents exactly 3*sqrt(Sigma_xx), 3*sqrt(Sigma_yy) — strictly tighter
+    than the circumscribed 3*sqrt(lambda_max) square (reference
+    GetBoundingBox) for anisotropic splats: fewer (gaussian, tile) pairs
+    enumerated for identical 3-sigma coverage, which scales the whole
+    binning + rasterize pipeline down proportionally.
+    """
+    rx = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(a, 0.0)))
+    ry = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(c, 0.0)))
+    return rx, ry

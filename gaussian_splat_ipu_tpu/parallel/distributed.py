@@ -9,7 +9,7 @@ TPU design — one mesh axis, two roles:
 
   1. *Projection is data-parallel over gaussians.* Each device holds an N/D
      shard of the parameter pytree and projects it locally (MXU matmuls).
-  2. *Exchange is one all_gather of compact projected splats* (11 f32 per
+  2. *Exchange is one all_gather of compact projected splats* (12 f32 per
      gaussian — position/depth/conic/color/opacity/radius), NOT of raw
      parameters (59+ floats incl. SH): the collective rides ICI at a
      fraction of the parameter traffic, and its autodiff transpose is a
@@ -54,20 +54,20 @@ class ShardedRenderOutput(NamedTuple):
 
 
 # -- packed projected-splat wire format (the all_gather payload) -----------
-_PACK_COLS = 11
+_PACK_COLS = 12
 
 
 def _pack_splats(sp: ProjectedSplats) -> jnp.ndarray:
     return jnp.concatenate([
         sp.xy, sp.depth[:, None], sp.conic, sp.color,
-        sp.opacity[:, None], sp.radius[:, None],
-    ], axis=-1)  # (n, 11)
+        sp.opacity[:, None], sp.radius,
+    ], axis=-1)  # (n, 12)
 
 
 def _unpack_splats(f: jnp.ndarray) -> ProjectedSplats:
     return ProjectedSplats(
         xy=f[:, 0:2], depth=f[:, 2], conic=f[:, 3:6], color=f[:, 6:9],
-        opacity=f[:, 9], radius=f[:, 10])
+        opacity=f[:, 9], radius=f[:, 10:12])
 
 
 def _rows_per_device(cfg: RasterConfig, num_devices: int) -> int:
@@ -133,7 +133,7 @@ def render_sharded(model: GaussianModel, camera: Camera, cfg: RasterConfig,
         counts = binned.tile_ends - binned.tile_starts
         overflow = jax.lax.psum(binned.overflow, axis)
         num_pairs = jax.lax.psum(binned.num_pairs, axis)
-        return tiles, counts, overflow, num_pairs, sp_local.radius > 0.0
+        return tiles, counts, overflow, num_pairs, sp_local.radius[:, 0] > 0.0
 
     tiles, counts, overflow, num_pairs, visible = shard_map(
         shard_fn, mesh=mesh,

@@ -81,8 +81,8 @@ def tile_ranges_of(splats: ProjectedSplats, cfg: RasterConfig,
     ntx, nty = cfg.tiles_x, cfg.tiles_y
     if row_hi is None:
         row_hi = nty
-    r = splats.radius
-    visible = r > 0.0
+    rx, ry = splats.radius[:, 0], splats.radius[:, 1]
+    visible = rx > 0.0
     x, y = splats.xy[:, 0], splats.xy[:, 1]
 
     def span(c, r, tile_sz, lo_bound, hi_bound):
@@ -94,8 +94,8 @@ def tile_ranges_of(splats: ProjectedSplats, cfg: RasterConfig,
         # Footprint guard band (reference clipSize, codelets.cpp:622,470).
         return lo, jnp.clip(n, 0, cfg.max_tiles_per_axis)
 
-    x0, nx = span(x, r, cfg.tile_width, 0, ntx)
-    y0, ny = span(y, r, cfg.tile_height, row_lo, row_hi)
+    x0, nx = span(x, rx, cfg.tile_width, 0, ntx)
+    y0, ny = span(y, ry, cfg.tile_height, row_lo, row_hi)
     nx = jnp.where(visible, nx, 0)
     ny = jnp.where(visible, ny, 0)
     return x0, y0, nx, ny

@@ -42,8 +42,8 @@ def composite_dense(splats: ProjectedSplats, cfg: RasterConfig,
     xy = splats.xy[order]
     conic = splats.conic[order]
     color = splats.color[order]
-    opacity = jnp.where(splats.radius[order] > 0.0, splats.opacity[order],
-                        0.0)
+    opacity = jnp.where(splats.radius[order, 0] > 0.0,
+                        splats.opacity[order], 0.0)
 
     px = jnp.arange(width, dtype=jnp.float32)[None, :]   # (1, W)
     py = jnp.arange(height, dtype=jnp.float32)[:, None]  # (H, 1)

@@ -57,7 +57,7 @@ def render(model: GaussianModel, camera: Camera, cfg: RasterConfig,
     counts = binned.tile_ends - binned.tile_starts
     return RenderOutput(image=image, tile_counts=counts,
                         overflow=binned.overflow, num_pairs=binned.num_pairs,
-                        visible=splats.radius > 0.0)
+                        visible=splats.radius[:, 0] > 0.0)
 
 
 def render_image(model: GaussianModel, camera: Camera,

@@ -28,7 +28,8 @@ class ProjectedSplats(NamedTuple):
     conic: jnp.ndarray     # (N, 3) inverse 2D covariance (A, B, C)
     color: jnp.ndarray     # (N, 3) RGB
     opacity: jnp.ndarray   # (N,) post-activation opacity
-    radius: jnp.ndarray    # (N,) 3-sigma pixel radius (0 => culled)
+    radius: jnp.ndarray    # (N, 2) exact 3-sigma AABB half-extents
+    #                        (rx, ry) in pixels; (0, 0) => culled
 
 
 def project_gaussians(model: GaussianModel, camera: Camera,
@@ -57,7 +58,7 @@ def project_gaussians(model: GaussianModel, camera: Camera,
     a, b, c = covariance.ewa_project(t_view, cov3d, camera.view, fx, fy,
                                      tan_fovx, tan_fovy, cfg.lowpass)
     ca, cb, cc, conic_valid = covariance.conic(a, b, c)
-    radius = covariance.splat_radius(a, b, c)
+    rx, ry = covariance.splat_extent(a, c)
 
     # Colour: SH evaluated along the view direction (degree 0 reduces to the
     # reference's SH_C0*f_dc+0.5, src/main/splat.cpp:136-148).
@@ -80,14 +81,14 @@ def project_gaussians(model: GaussianModel, camera: Camera,
     # the scene; we do a standard visibility test instead.
     w = clip[:, 3]
     near_ok = w > 1e-6
-    margin = radius
-    on_screen = ((xy[:, 0] + margin >= 0.0)
-                 & (xy[:, 0] - margin <= cfg.image_width)
-                 & (xy[:, 1] + margin >= 0.0)
-                 & (xy[:, 1] - margin <= cfg.image_height))
-    visible = near_ok & on_screen & conic_valid & (radius > 0.0) & (
-        opacity >= cfg.alpha_min)
-    radius = jnp.where(visible, radius, 0.0)
+    on_screen = ((xy[:, 0] + rx >= 0.0)
+                 & (xy[:, 0] - rx <= cfg.image_width)
+                 & (xy[:, 1] + ry >= 0.0)
+                 & (xy[:, 1] - ry <= cfg.image_height))
+    visible = near_ok & on_screen & conic_valid & (rx > 0.0) & (
+        ry > 0.0) & (opacity >= cfg.alpha_min)
+    radius = jnp.where(visible[:, None],
+                       jnp.stack([rx, ry], -1), 0.0)
 
     return ProjectedSplats(
         xy=xy,

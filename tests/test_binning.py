@@ -24,7 +24,7 @@ def make_splats(xy, radius, depth=None, opacity=0.9):
         conic=jnp.tile(jnp.array([[1.0, 0.0, 1.0]], jnp.float32), (n, 1)),
         color=jnp.tile(jnp.array([[1.0, 0.5, 0.25]], jnp.float32), (n, 1)),
         opacity=jnp.full((n,), opacity, jnp.float32),
-        radius=jnp.asarray(radius, jnp.float32),
+        radius=jnp.stack([jnp.asarray(radius, jnp.float32)] * 2, -1),
     )
 
 
