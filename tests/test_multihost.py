@@ -1,0 +1,75 @@
+"""Real 2-process multi-host validation (config 5's DCN path, on CPU).
+
+Spawns two OS processes that bootstrap jax.distributed over localhost,
+form one 8-device global mesh (4 virtual CPU devices each), and run the
+SAME shard_map renderer used in-process — the code path a TPU pod takes
+across hosts. Their replicated result must agree with a single-process
+render of the identical scene.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_render_matches_single():
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    child = os.path.join(root, "tests", "_multihost_child.py")
+    coord = f"127.0.0.1:{_free_port()}"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, child, str(pid), "2", coord],
+        cwd=root, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True) for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-process child timed out")
+        outs.append((p.returncode, out, err))
+
+    means = []
+    for rc, out, err in outs:
+        if "SKIP" in out:
+            pytest.skip(f"multi-process unsupported here: {out.strip()}")
+        assert rc == 0, f"child failed: {err[-2000:]}"
+        line = [l for l in out.splitlines() if l.startswith("MEAN")][-1]
+        means.append(float(line.split()[1]))
+
+    # Both processes hold the replicated result of ONE global computation.
+    assert means[0] == means[1]
+
+    # Single-process reference on the plain jnp path.
+    import jax
+
+    from gaussian_splat_ipu_tpu.models.camera import Camera
+    from gaussian_splat_ipu_tpu.models.gaussians import GaussianModel
+    from gaussian_splat_ipu_tpu.render.pipeline import render_image
+    from gaussian_splat_ipu_tpu.utils.config import RasterConfig
+
+    cfg = RasterConfig(image_width=64, image_height=256,
+                       pair_capacity=1 << 12, max_chunks_per_tile=4)
+    model = GaussianModel.random(jax.random.PRNGKey(0), 128)
+    cam = Camera.orbit(np.array([-1.0, -1.0, -1.0], np.float32),
+                       np.array([1.0, 1.0, 1.0], np.float32),
+                       fov_radians=np.radians(45.0), aspect=0.25)
+    ref = float(np.mean(np.asarray(
+        render_image(model, cam, cfg, use_pallas=False))))
+    np.testing.assert_allclose(means[0], ref, rtol=1e-5, atol=1e-7)
