@@ -72,6 +72,21 @@ def mean_of_render(m):
     return jnp.mean(img)
 
 
+@jax.jit
+def grad_norm(m):
+    # Backward crosses processes through the all_gather's reduce-scatter
+    # transpose; the summed norm is replicated.
+    def loss(mm):
+        img = distributed.render_image_sharded(mm, cam, CFG, mesh,
+                                               use_pallas=False,
+                                               pair_capacity=1 << 12)
+        return jnp.mean(jnp.abs(img))
+
+    g = jax.grad(loss)(m)
+    return sum(jnp.sum(x * x) for x in jax.tree.leaves(g))
+
+
 val = float(mean_of_render(model))
-print(f"MEAN {val:.9f}", flush=True)
+gn = float(grad_norm(model))
+print(f"MEAN {val:.9f} GRADSQ {gn:.9f}", flush=True)
 jax.distributed.shutdown()

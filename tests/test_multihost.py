@@ -45,16 +45,18 @@ def test_two_process_render_matches_single():
             pytest.fail("multi-process child timed out")
         outs.append((p.returncode, out, err))
 
-    means = []
+    means, gradsqs = [], []
     for rc, out, err in outs:
         if "SKIP" in out:
             pytest.skip(f"multi-process unsupported here: {out.strip()}")
         assert rc == 0, f"child failed: {err[-2000:]}"
         line = [l for l in out.splitlines() if l.startswith("MEAN")][-1]
         means.append(float(line.split()[1]))
+        gradsqs.append(float(line.split()[3]))
 
     # Both processes hold the replicated result of ONE global computation.
     assert means[0] == means[1]
+    assert gradsqs[0] == gradsqs[1]
 
     # Single-process reference on the plain jnp path.
     import jax
@@ -73,3 +75,13 @@ def test_two_process_render_matches_single():
     ref = float(np.mean(np.asarray(
         render_image(model, cam, cfg, use_pallas=False))))
     np.testing.assert_allclose(means[0], ref, rtol=1e-5, atol=1e-7)
+
+    import jax.numpy as jnp
+
+    def loss(m):
+        return jnp.mean(jnp.abs(render_image(m, cam, cfg,
+                                             use_pallas=False)))
+
+    g = jax.grad(loss)(model)
+    ref_gn = float(sum(jnp.sum(x * x) for x in jax.tree.leaves(g)))
+    np.testing.assert_allclose(gradsqs[0], ref_gn, rtol=1e-4)
