@@ -9,12 +9,20 @@ TPU design — one mesh axis, two roles:
 
   1. *Projection is data-parallel over gaussians.* Each device holds an N/D
      shard of the parameter pytree and projects it locally (MXU matmuls).
-  2. *Exchange is one all_gather of compact projected splats* (12 f32 per
-     gaussian — position/depth/conic/color/opacity/radius), NOT of raw
-     parameters (59+ floats incl. SH): the collective rides ICI at a
-     fraction of the parameter traffic, and its autodiff transpose is a
-     psum_scatter, which is exactly the reduce-scatter you want for the
-     backward pass.
+  2. *Exchange is a per-destination all_to_all of compact projected splats*
+     (12 f32 per gaussian — position/depth/conic/color/opacity/radius), NOT
+     of raw parameters (59+ floats incl. SH): each device routes every
+     locally-projected splat only to the device(s) whose framebuffer row
+     strip its footprint touches, through fixed-capacity per-destination
+     buckets with counted overflow (the bounded-channel discipline of the
+     reference's exchange lattice, src/splat/edge_builder.cpp:35-84). Per-
+     device ICI traffic and post-exchange live memory scale with the
+     strip-crossing splat population — NOT with global N, as the previous
+     all_gather design did. The autodiff transpose of the routing gather +
+     all_to_all is the reverse all_to_all + a scatter-add, so splat
+     gradients land back on the owning shard with no separate all-reduce.
+     (`exchange="all_gather"` keeps the old replicate-everything path for
+     comparison and for tiny meshes.)
   3. *Rasterization is spatially parallel over framebuffer tile rows.* Each
      device bins ONLY its own row strip (render/binning.py row_lo/num_rows:
      pairs for other devices' tiles are never enumerated) and rasterizes it
@@ -51,6 +59,11 @@ class ShardedRenderOutput(NamedTuple):
     overflow: jnp.ndarray     # () i32, summed over devices (replicated)
     num_pairs: jnp.ndarray    # () i32, summed over devices (replicated)
     visible: jnp.ndarray      # (N,) bool, gaussian-sharded frustum mask
+    truncated: jnp.ndarray    # () i32 pairs past the per-tile work bound,
+    #                           summed over devices (see RenderOutput)
+    exchange_overflow: jnp.ndarray  # () i32 splat rows dropped at the
+    #                           all_to_all bucket capacity, summed over
+    #                           devices (0 on the all_gather path)
 
 
 # -- packed projected-splat wire format (the all_gather payload) -----------
@@ -74,6 +87,107 @@ def _rows_per_device(cfg: RasterConfig, num_devices: int) -> int:
     return -(-cfg.tiles_y // num_devices)
 
 
+def _dest_strip_span(sp: ProjectedSplats, cfg: RasterConfig, rows: int):
+    """Destination-device range [dest_lo, dest_lo + span) per local splat.
+
+    Device j owns tile rows [j*rows, (j+1)*rows); a splat's footprint
+    rectangle (3-sigma tile coverage) maps to the contiguous device range
+    covering its tile-row span. span = 0 for culled splats. `rows` is
+    static, so the divisions strength-reduce at compile time.
+    """
+    _, y0, nx, ny = binning.tile_ranges_of(sp, cfg)
+    dest_lo = y0 // rows
+    dest_hi = (y0 + jnp.maximum(ny, 1) - 1) // rows
+    span = jnp.where((nx > 0) & (ny > 0), dest_hi - dest_lo + 1, 0)
+    return dest_lo, span.astype(jnp.int32)
+
+
+def _route_all_to_all(packed: jnp.ndarray, dest_lo: jnp.ndarray,
+                      span: jnp.ndarray, axis: str, d: int, cap: int):
+    """Bucket local splat rows by destination device and all_to_all them.
+
+    packed: (nloc, F) locally-projected splat rows; dest_lo/span: the
+    destination-device range each row must reach. Each of the d
+    destinations gets a fixed `cap`-row bucket (static shapes); rows past
+    a bucket's capacity are dropped AND counted — the bounded-channel +
+    counted-overflow discipline of the pair table (and of the reference's
+    300-slot lattice channels, src/splat/edge_builder.cpp:35-84).
+
+    Returns (recv (d*cap, F) — rows routed TO this device, globally
+    gaussian-id-ordered so depth-tie-breaking matches the single-device
+    renderer exactly; send_overflow () i32 — rows this device dropped).
+
+    Differentiable in `packed`: the routing indices are integer-only, the
+    row gather transposes to a scatter-add, and the all_to_all transposes
+    to its inverse permutation — splat cotangents ride the same ICI links
+    back to the owning shard.
+    """
+    nloc, nfeat = packed.shape
+    p = d * cap  # pair-expansion capacity == total send-buffer slots
+
+    # Expand to (splat, destination) pairs — the scatter+cummax expansion
+    # of render/binning.py (jnp.repeat lowers ~60x slower on TPU). Pairs
+    # come out ordered by gaussian id, destinations ascending within one.
+    span_ext = jnp.concatenate([span, jnp.array([p], jnp.int32)])
+    ends_cum = jnp.cumsum(span_ext)
+    offsets_ext = ends_cum - span_ext
+    total = ends_cum[-2]
+    first_slot = jnp.where(span_ext > 0, offsets_ext, p)
+    iota_n = jnp.arange(nloc + 1, dtype=jnp.int32)
+    slot = jnp.arange(p, dtype=jnp.int32)
+    # d is tiny (<= mesh axis), so dest_lo packs into the low bits of the
+    # segment-start key and forward-fills with the SAME cummax that fills
+    # gid — no (P,)-element gather, which runs ~1 element/cycle on TPU.
+    dbits = max((d + 1).bit_length(), 1)
+    dest_ext = jnp.concatenate([dest_lo, jnp.array([d], jnp.int32)])
+    key_at = jnp.zeros((p,), jnp.int32).at[first_slot].max(
+        (iota_n << dbits) | dest_ext, mode="drop")
+    key_fill = jax.lax.cummax(key_at)
+    gid = key_fill >> dbits
+    prev_gid = jnp.concatenate([jnp.full((1,), -1, jnp.int32), gid[:-1]])
+    rank = slot - jax.lax.cummax(jnp.where(gid != prev_gid, slot, 0))
+    is_pad = gid >= nloc
+    dest = jnp.where(is_pad, d, (key_fill & ((1 << dbits) - 1)) + rank)
+
+    # Sort pairs by destination (single-key i32 radix fast path), gid
+    # riding as the one carried value; stability keeps gid ascending
+    # within each destination bucket.
+    dest_s, gid_s = jax.lax.sort((dest, jnp.where(is_pad, nloc, gid)),
+                                 num_keys=1)
+    prev_d = jnp.concatenate([jnp.full((1,), -1, jnp.int32), dest_s[:-1]])
+    lrank = slot - jax.lax.cummax(jnp.where(dest_s != prev_d, slot, 0))
+    keep = (dest_s < d) & (lrank < cap)
+    out_slot = jnp.where(keep, dest_s * cap + lrank, p)
+    idx = jnp.full((p,), nloc, jnp.int32).at[out_slot].set(gid_s,
+                                                           mode="drop")
+
+    packed_ext = jnp.concatenate(
+        [packed, jnp.zeros((1, nfeat), packed.dtype)])
+    send = packed_ext[idx]                          # (d*cap, F)
+    recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0,
+                              tiled=True)
+
+    # Counted drops: expansion-table tail + over-capacity bucket rows.
+    bounds = jnp.searchsorted(dest_s, jnp.arange(d + 1, dtype=jnp.int32),
+                              side="left").astype(jnp.int32)
+    bucket_demand = bounds[1:] - bounds[:-1]
+    send_overflow = (jnp.maximum(total - p, 0)
+                     + jnp.sum(jnp.maximum(bucket_demand - cap, 0)))
+    return recv, send_overflow
+
+
+def _exchange_capacity(nloc: int, d: int,
+                       requested: int | None = None) -> int:
+    """Per-destination bucket rows: an even nloc/d share with 4x slack for
+    view-dependent imbalance, 128-row aligned, never more than nloc (at
+    cap == nloc no routing can overflow a bucket, only the expansion)."""
+    if requested is not None:
+        cap = requested
+    else:
+        cap = max(min(4 * nloc // max(d, 1), nloc), 128)
+    return -(-cap // 128) * 128
+
+
 def _untile_rows(tiles: jnp.ndarray, cfg: RasterConfig,
                  rows_total: int) -> jnp.ndarray:
     """(rows_total * tiles_x, NPIX, 4) -> (H, W, 4), cropping phantom rows."""
@@ -88,7 +202,9 @@ def _untile_rows(tiles: jnp.ndarray, cfg: RasterConfig,
 def render_sharded(model: GaussianModel, camera: Camera, cfg: RasterConfig,
                    mesh, axis: str = SHARD_AXIS, use_pallas: bool = True,
                    pair_capacity: int | None = None,
-                   xy_probe: jnp.ndarray | None = None
+                   xy_probe: jnp.ndarray | None = None,
+                   exchange: str = "all_to_all",
+                   exchange_capacity: int | None = None
                    ) -> ShardedRenderOutput:
     """Render one frame across the mesh. Differentiable end-to-end.
 
@@ -100,10 +216,16 @@ def render_sharded(model: GaussianModel, camera: Camera, cfg: RasterConfig,
     space gradient probe for density control (train/densify.py): grads
     w.r.t. it are per-gaussian pixel-position gradients, and they land
     already sharded (the probe never crosses the mesh).
+
+    exchange: "all_to_all" (default) routes each projected splat only to
+    the devices whose row strips it touches, through `exchange_capacity`-
+    row buckets (counted overflow in .exchange_overflow) — per-device
+    memory and ICI traffic scale with strip-crossing splats, not global N.
+    "all_gather" replicates every projected splat (the O(N)-per-device
+    fallback; exact whenever the pair table fits).
     """
     d = mesh.shape[axis]
     rows = _rows_per_device(cfg, d)
-    nloc = rows * cfg.tiles_x
     if pair_capacity is None:
         # Per-device pair budget: an even share plus 2x imbalance slack,
         # rounded up to a chunk multiple (binning requires alignment).
@@ -111,13 +233,21 @@ def render_sharded(model: GaussianModel, camera: Camera, cfg: RasterConfig,
     pair_capacity = -(-pair_capacity // cfg.chunk_size) * cfg.chunk_size
     if xy_probe is None:
         xy_probe = jnp.zeros((model.num_gaussians, 2), jnp.float32)
+    cap = _exchange_capacity(-(-model.num_gaussians // d), d,
+                             exchange_capacity)
 
     def shard_fn(model_shard, camera_rep, probe_shard):
         sp_local = project_gaussians(model_shard, camera_rep, cfg,
                                      xy_probe=probe_shard)
         packed = _pack_splats(sp_local)
-        all_packed = jax.lax.all_gather(packed, axis, axis=0, tiled=True)
-        sp = _unpack_splats(all_packed)
+        if exchange == "all_to_all":
+            dest_lo, span = _dest_strip_span(sp_local, cfg, rows)
+            routed, xovf = _route_all_to_all(packed, dest_lo, span, axis,
+                                             d, cap)
+        else:
+            routed = jax.lax.all_gather(packed, axis, axis=0, tiled=True)
+            xovf = jnp.int32(0)
+        sp = _unpack_splats(routed)
 
         row_lo = jax.lax.axis_index(axis) * rows
         binned = binning.bin_splats(sp, cfg, row_lo=row_lo, num_rows=rows,
@@ -133,26 +263,37 @@ def render_sharded(model: GaussianModel, camera: Camera, cfg: RasterConfig,
         counts = binned.tile_ends - binned.tile_starts
         overflow = jax.lax.psum(binned.overflow, axis)
         num_pairs = jax.lax.psum(binned.num_pairs, axis)
-        return tiles, counts, overflow, num_pairs, sp_local.radius[:, 0] > 0.0
+        work_cap = cfg.max_chunks_per_tile * cfg.chunk_size
+        truncated = jax.lax.psum(
+            jnp.sum(jnp.maximum(counts - work_cap, 0)), axis)
+        return (tiles, counts, overflow, num_pairs,
+                sp_local.radius[:, 0] > 0.0, truncated,
+                jax.lax.psum(xovf, axis))
 
-    tiles, counts, overflow, num_pairs, visible = shard_map(
+    (tiles, counts, overflow, num_pairs, visible, truncated,
+     exchange_overflow) = shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(axis), P(), P(axis)),
-        out_specs=(P(axis), P(axis), P(), P(), P(axis)),
+        out_specs=(P(axis), P(axis), P(), P(), P(axis), P(), P()),
         check_vma=False,  # custom_vjp inside defeats the varying-axis check
     )(model, camera, xy_probe)
 
     image = _untile_rows(tiles, cfg, rows * d)
     return ShardedRenderOutput(image=image, tile_counts=counts,
                                overflow=overflow, num_pairs=num_pairs,
-                               visible=visible)
+                               visible=visible, truncated=truncated,
+                               exchange_overflow=exchange_overflow)
 
 
 def render_image_sharded(model, camera, cfg: RasterConfig, mesh,
                          axis: str = SHARD_AXIS, use_pallas: bool = True,
-                         pair_capacity: int | None = None) -> jnp.ndarray:
+                         pair_capacity: int | None = None,
+                         exchange: str = "all_to_all",
+                         exchange_capacity: int | None = None
+                         ) -> jnp.ndarray:
     return render_sharded(model, camera, cfg, mesh, axis, use_pallas,
-                          pair_capacity).image
+                          pair_capacity, exchange=exchange,
+                          exchange_capacity=exchange_capacity).image
 
 
 def render_views_sharded(model: GaussianModel, cameras: Camera,
@@ -160,7 +301,10 @@ def render_views_sharded(model: GaussianModel, cameras: Camera,
                          view_axis: str = VIEW_AXIS,
                          shard_axis: str = SHARD_AXIS,
                          use_pallas: bool = True,
-                         pair_capacity: int | None = None) -> jnp.ndarray:
+                         pair_capacity: int | None = None,
+                         exchange: str = "all_to_all",
+                         exchange_capacity: int | None = None
+                         ) -> jnp.ndarray:
     """Render a BATCH of views over a 2D (view, shard) mesh.
 
     cameras: Camera pytree with a leading view dimension V (divisible by
@@ -178,6 +322,8 @@ def render_views_sharded(model: GaussianModel, cameras: Camera,
     if pair_capacity is None:
         pair_capacity = max(2 * cfg.pair_capacity // d, 4 * cfg.chunk_size)
     pair_capacity = -(-pair_capacity // cfg.chunk_size) * cfg.chunk_size
+    cap = _exchange_capacity(-(-model.num_gaussians // d), d,
+                             exchange_capacity)
     cam_treedef = jax.tree_util.tree_structure(
         jax.tree.map(lambda x: x[0], cameras))
 
@@ -186,9 +332,14 @@ def render_views_sharded(model: GaussianModel, cameras: Camera,
             cam = jax.tree_util.tree_unflatten(cam_treedef, cam_leaves)
             sp_local = project_gaussians(model_shard, cam, cfg)
             packed = _pack_splats(sp_local)
-            all_packed = jax.lax.all_gather(packed, shard_axis, axis=0,
+            if exchange == "all_to_all":
+                dest_lo, span = _dest_strip_span(sp_local, cfg, rows)
+                routed, _ = _route_all_to_all(packed, dest_lo, span,
+                                              shard_axis, d, cap)
+            else:
+                routed = jax.lax.all_gather(packed, shard_axis, axis=0,
                                             tiled=True)
-            sp = _unpack_splats(all_packed)
+            sp = _unpack_splats(routed)
             row_lo = jax.lax.axis_index(shard_axis) * rows
             binned = binning.bin_splats(sp, cfg, row_lo=row_lo,
                                         num_rows=rows,
@@ -253,7 +404,8 @@ def make_sharded_densify_train_step(mesh, raster_cfg: RasterConfig,
                                     train_cfg: trainer.TrainConfig,
                                     axis: str = SHARD_AXIS,
                                     use_pallas: bool = True,
-                                    pair_capacity: int | None = None):
+                                    pair_capacity: int | None = None,
+                                    jit: bool = True):
     """Distributed train step with density-control statistics.
 
     step(state, dstate, camera, target) -> (state, dstate, loss): the
@@ -277,7 +429,6 @@ def make_sharded_densify_train_step(mesh, raster_cfg: RasterConfig,
         return (loss_lib.render_loss(out.image, target,
                                      train_cfg.ssim_weight), out.visible)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(state: trainer.TrainState, dstate, camera: Camera,
              target: jnp.ndarray):
         probe = jnp.zeros((state.params.num_gaussians, 2), jnp.float32)
@@ -295,7 +446,9 @@ def make_sharded_densify_train_step(mesh, raster_cfg: RasterConfig,
         return trainer.TrainState(params=params, opt_state=opt_state,
                                   step=state.step + 1), dstate, loss
 
-    return step
+    if jit:
+        return jax.jit(step, donate_argnums=(0, 1))
+    return step  # raw body, for chaining into an epoch lax.scan
 
 
 def make_sharded_train_step(mesh, raster_cfg: RasterConfig,

@@ -80,6 +80,82 @@ class TestShardedRender:
                                    np.asarray(ref.image), atol=1e-5)
 
 
+class TestExchangeModes:
+    """The per-destination all_to_all exchange (default) vs the all_gather
+    fallback — the TPU-native replacement for the reference's bounded
+    lattice channels (src/splat/edge_builder.cpp:35-84)."""
+
+    def test_all_to_all_matches_all_gather(self):
+        model, camera = _scene(seed=11)
+        mesh = meshlib.make_mesh(8)
+        sharded = meshlib.shard_model(model, mesh)
+        out_a2a = distributed.render_sharded(
+            sharded, camera, CFG, mesh, use_pallas=False,
+            pair_capacity=1 << 13, exchange="all_to_all")
+        out_ag = distributed.render_sharded(
+            sharded, camera, CFG, mesh, use_pallas=False,
+            pair_capacity=1 << 13, exchange="all_gather")
+        assert int(out_a2a.exchange_overflow) == 0
+        assert int(out_ag.exchange_overflow) == 0
+        np.testing.assert_allclose(np.asarray(out_a2a.image),
+                                   np.asarray(out_ag.image), atol=1e-5)
+        assert int(out_a2a.num_pairs) == int(out_ag.num_pairs)
+
+    def test_exchange_overflow_counted_not_silent(self):
+        # Starve the per-destination buckets: rows past capacity must be
+        # COUNTED (bounded-channel discipline of the reference's 300-slot
+        # lattice channels), never silently lost.
+        model, camera = _scene(seed=12)
+        mesh = meshlib.make_mesh(8)
+        sharded = meshlib.shard_model(model, mesh)
+        ref = distributed.render_sharded(
+            sharded, camera, CFG, mesh, use_pallas=False,
+            pair_capacity=1 << 13, exchange_capacity=4096)
+        assert int(ref.exchange_overflow) == 0
+        starved = distributed.render_sharded(
+            sharded, camera, CFG, mesh, use_pallas=False,
+            pair_capacity=1 << 13, exchange_capacity=1)
+        # 128-row alignment makes the effective floor 128 rows/bucket; with
+        # 256/8 = 32 local splats no bucket can overflow, but the d*cap
+        # expansion table can't: only assert the counter plumbing is live
+        # (zero here) and force a real overflow via a single-device mesh
+        # where every splat routes to bucket 0.
+        assert int(starved.exchange_overflow) >= 0
+        mesh1 = meshlib.make_mesh(1)
+        big = GaussianModel.random(jax.random.PRNGKey(13), 512, extent=0.2)
+        sharded1 = meshlib.shard_model(big, mesh1)
+        out1 = distributed.render_sharded(
+            sharded1, camera, CFG, mesh1, use_pallas=False,
+            pair_capacity=1 << 13, exchange_capacity=128)
+        # Exact expected drop count: splats whose footprint touches the
+        # framebuffer at all (span > 0) beyond the 128-row bucket.
+        from gaussian_splat_ipu_tpu.render import binning
+        from gaussian_splat_ipu_tpu.render.projection import (
+            project_gaussians)
+        sp = project_gaussians(big, camera, CFG)
+        _, _, nx, ny = binning.tile_ranges_of(sp, CFG)
+        n_routed = int(np.sum(np.asarray((nx > 0) & (ny > 0))))
+        assert n_routed > 128, "scene too sparse to starve the bucket"
+        assert int(out1.exchange_overflow) == n_routed - 128
+
+    def test_uneven_shard_rows_all_to_all(self):
+        # tiles_y=2 over 8 devices: most devices own zero real rows; the
+        # routing span must still stay in-range and render exactly.
+        cfg = RasterConfig(image_width=64, image_height=64,
+                           pair_capacity=1 << 12, max_chunks_per_tile=4)
+        model, camera = _scene(seed=14, n=128)
+        ref = render(model, camera, cfg, use_pallas=False)
+        mesh = meshlib.make_mesh(8)
+        sharded = meshlib.shard_model(model, mesh)
+        out = distributed.render_sharded(sharded, camera, cfg, mesh,
+                                         use_pallas=False,
+                                         pair_capacity=1 << 12,
+                                         exchange="all_to_all")
+        assert int(out.exchange_overflow) == 0
+        np.testing.assert_allclose(np.asarray(out.image),
+                                   np.asarray(ref.image), atol=1e-5)
+
+
 class TestShardedGradients:
     def test_grads_match_single_device(self):
         from gaussian_splat_ipu_tpu.train import losses
