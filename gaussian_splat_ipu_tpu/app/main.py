@@ -103,12 +103,13 @@ def main(argv=None) -> int:
     def splat_fn(m, state):
         cam = make_camera(state)
         out = render(m, cam, cfg, use_pallas)
-        return out.image, out.tile_counts
+        return out.image, out.tile_counts, out.overflow, out.truncated
 
     def points_fn(m, state):
         cam = make_camera(state)
         out = points_render.render_points(m, cam, cfg)
-        return out.image, points_render.tile_histogram(m, cam, cfg)
+        return (out.image, points_render.tile_histogram(m, cam, cfg),
+                np.int32(0), np.int32(0))
 
     state0 = {"fov": fov, "rx": 0.0, "ry": 0.0, "x": 0.0, "y": 0.0,
               "z": 0.0}
@@ -168,15 +169,27 @@ def main(argv=None) -> int:
             # round-trip; on a local chip it overlaps host work with
             # device compute (the reference overlaps its UI thread the
             # same way, splat.cpp:207-225).
-            image_d, counts_d = engine.run(
+            image_d, counts_d, ovf_d, trunc_d = engine.run(
                 program, model,
                 {k: np.float32(v) for k, v in state.items()})
-            inflight.append((image_d, counts_d, time.perf_counter()))
+            inflight.append((image_d, counts_d, ovf_d, trunc_d,
+                             time.perf_counter()))
 
             def retire_one():
                 nonlocal t_last_retire, last_image, n_retired
-                img_d, cnt_d, t_submit = inflight.popleft()
+                img_d, cnt_d, ovf_d, trc_d, t_submit = inflight.popleft()
                 img_d.block_until_ready()
+                # Guarded-overflow telemetry (reference discipline,
+                # codelets.cpp:487-490): zoom-in can exceed the pair table
+                # or per-tile work bound; warn instead of silently dropping
+                # splats. Rate-limited to the logging cadence.
+                if i % 30 == 0:
+                    ovf, trc = int(ovf_d), int(trc_d)
+                    if ovf or trc:
+                        log.warning(
+                            "frame %d: dropped splat pairs (overflow=%d "
+                            "over --pair-capacity, truncated=%d past the "
+                            "per-tile work bound)", i, ovf, trc)
                 if args.dump_frames:
                     image_util.write_png(
                         os.path.join(args.dump_frames,
@@ -201,9 +214,9 @@ def main(argv=None) -> int:
                     cnt_host = np.asarray(cnt_d)
 
                     def push(img=img_host, cnt=cnt_host, ex=exposure,
-                             gm=gamma):
+                             gm=gamma, ov=int(ovf_d), tr=int(trc_d)):
                         ui.send_preview_image(img, ex, gm)
-                        ui.send_histogram(cnt)
+                        ui.send_histogram(cnt, overflow=ov, truncated=tr)
 
                     ui_task.run(push)
 

@@ -27,6 +27,11 @@ class RenderOutput(NamedTuple):
     overflow: jnp.ndarray     # () i32 dropped pairs (capacity exceeded)
     num_pairs: jnp.ndarray    # () i32 live (gaussian, tile) pairs
     visible: jnp.ndarray      # (N,) bool, gaussian survived frustum cull
+    # Pairs past the per-tile max_chunks_per_tile * chunk_size work bound:
+    # the rasterizer composits only that prefix of each tile's depth range
+    # (the farthest splats drop — reference guarded-overflow discipline,
+    # codelets.cpp:487-490). Nonzero means raise max_chunks_per_tile.
+    truncated: jnp.ndarray    # () i32
 
 
 def _untile_crop(tiles: jnp.ndarray, cfg: RasterConfig) -> jnp.ndarray:
@@ -55,9 +60,12 @@ def render(model: GaussianModel, camera: Camera, cfg: RasterConfig,
         tiles = tile_raster.rasterize_tiles_jnp(binned, cfg)
     image = _untile_crop(tiles, cfg)
     counts = binned.tile_ends - binned.tile_starts
+    work_cap = cfg.max_chunks_per_tile * cfg.chunk_size
+    truncated = jnp.sum(jnp.maximum(counts - work_cap, 0))
     return RenderOutput(image=image, tile_counts=counts,
                         overflow=binned.overflow, num_pairs=binned.num_pairs,
-                        visible=splats.radius[:, 0] > 0.0)
+                        visible=splats.radius[:, 0] > 0.0,
+                        truncated=truncated)
 
 
 def render_image(model: GaussianModel, camera: Camera,

@@ -150,9 +150,16 @@ class InterfaceServer:
             payload = image_util.encode_png(arr)
         self._send("render_preview", payload)
 
-    def send_histogram(self, counts) -> None:
+    def send_histogram(self, counts, overflow: int = 0,
+                       truncated: int = 0) -> None:
+        """Per-tile pair counts plus drop telemetry: `overflow` pairs lost
+        to the fixed pair table, `truncated` past the per-tile work bound
+        (both 0 when nothing dropped — guarded-overflow discipline,
+        codelets.cpp:487-490)."""
         payload = json.dumps(
-            {"counts": np.asarray(counts).tolist()}).encode()
+            {"counts": np.asarray(counts).tolist(),
+             "overflow": int(overflow),
+             "truncated": int(truncated)}).encode()
         self._send("tile_histogram", payload)
 
     def _send(self, ptype: str, payload: bytes) -> None:
