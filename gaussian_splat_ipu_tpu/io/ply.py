@@ -35,7 +35,18 @@ class PlyElement:
     name: str
     count: int
     properties: List[Tuple[str, str]]  # (name, numpy dtype code)
-    data: Optional[np.ndarray] = None  # structured array
+    data: Optional[np.ndarray] = None  # structured array (scalar props)
+    # (name, count dtype code, value dtype code) for list properties —
+    # e.g. the vertex_indices of a face element. Parsed (the stream must
+    # advance past them) but stored separately from the scalar table.
+    list_properties: List[Tuple[str, str, str]] = dataclasses.field(
+        default_factory=list)
+    lists: Dict[str, List[np.ndarray]] = dataclasses.field(
+        default_factory=dict)
+    # Property declaration order: ("scalar", name, code) or
+    # ("list", name, count_code, value_code) — rows interleave values in
+    # exactly this order, which matters once an element mixes both kinds.
+    order: List[Tuple] = dataclasses.field(default_factory=list)
 
     def column(self, name: str) -> np.ndarray:
         return np.asarray(self.data[name])
@@ -71,10 +82,21 @@ def _parse_header(stream) -> Tuple[List[PlyElement], str, int]:
             elements.append(PlyElement(tokens[1], int(tokens[2]), []))
         elif tokens[0] == "property":
             if tokens[1] == "list":
-                raise NotImplementedError(
-                    "list properties are not used by gaussian-splat PLYs")
-            code = _PLY_TO_NUMPY[tokens[1]]
-            elements[-1].properties.append((tokens[2], code))
+                # e.g. "property list uchar int vertex_indices" on a face
+                # element. Gaussian-splat data lives in scalar vertex
+                # properties, but a general PLY (the reference's happly
+                # parses these) must still be loadable: record the list so
+                # the reader can advance the stream past it.
+                elements[-1].list_properties.append(
+                    (tokens[4], _PLY_TO_NUMPY[tokens[2]],
+                     _PLY_TO_NUMPY[tokens[3]]))
+                elements[-1].order.append(
+                    ("list", tokens[4], _PLY_TO_NUMPY[tokens[2]],
+                     _PLY_TO_NUMPY[tokens[3]]))
+            else:
+                code = _PLY_TO_NUMPY[tokens[1]]
+                elements[-1].properties.append((tokens[2], code))
+                elements[-1].order.append(("scalar", tokens[2], code))
         elif tokens[0] == "end_header":
             break
     if fmt is None:
@@ -82,8 +104,86 @@ def _parse_header(stream) -> Tuple[List[PlyElement], str, int]:
     return elements, fmt, stream.tell()
 
 
-def read_ply(path: str) -> PlyData:
-    """Parse a PLY file into structured numpy arrays."""
+def _read_list_element_ascii(el: PlyElement, rows, pos: int) -> int:
+    """Token-walk one element whose rows contain list properties."""
+    scalars = {n: np.empty(el.count, np.dtype(c))
+               for n, c in el.properties}
+    lists = {n: [] for n, _, _ in el.list_properties}
+    for r in range(el.count):
+        for kind in el.order:
+            if kind[0] == "scalar":
+                scalars[kind[1]][r] = np.dtype(kind[2]).type(rows[pos])
+                pos += 1
+            else:
+                cnt = int(rows[pos])
+                pos += 1
+                lists[kind[1]].append(
+                    np.array(rows[pos:pos + cnt], np.dtype(kind[3])))
+                pos += cnt
+    if el.properties:
+        rec = np.empty(el.count, np.dtype(el.properties))
+        for n, _ in el.properties:
+            rec[n] = scalars[n]
+        el.data = rec
+    el.lists = lists
+    return pos
+
+
+def _read_list_element_binary(el: PlyElement, f, endian: str) -> None:
+    """Row-by-row binary parse of an element with list properties (the
+    stream MUST advance past it even if the caller only wants vertices)."""
+    scalars = {n: np.empty(el.count, np.dtype(c))
+               for n, c in el.properties}
+    lists = {n: [] for n, _, _ in el.list_properties}
+    for r in range(el.count):
+        for kind in el.order:
+            if kind[0] == "scalar":
+                dt = np.dtype(endian + kind[2])
+                scalars[kind[1]][r] = np.frombuffer(
+                    f.read(dt.itemsize), dt)[0]
+            else:
+                cdt = np.dtype(endian + kind[2])
+                vdt = np.dtype(endian + kind[3])
+                cnt = int(np.frombuffer(f.read(cdt.itemsize), cdt)[0])
+                lists[kind[1]].append(
+                    np.frombuffer(f.read(vdt.itemsize * cnt), vdt,
+                                  count=cnt))
+    if el.properties:
+        rec = np.empty(el.count, np.dtype(el.properties))
+        for n, _ in el.properties:
+            rec[n] = scalars[n]
+        el.data = rec
+    el.lists = lists
+
+
+def count_vertices(path: str) -> int:
+    """Vertex count from the header alone (no element data is read) —
+    lets every process of a multi-host job size its shard before loading
+    anything (parallel/multihost.py::load_scene_sharded)."""
+    with open(path, "rb") as f:
+        elements, _, _ = _parse_header(f)
+    for el in elements:
+        if el.name == "vertex":
+            return el.count
+    raise ValueError("PLY has no vertex element")
+
+
+def read_ply(path: str, vertex_range: Optional[Tuple[int, int]] = None
+             ) -> PlyData:
+    """Parse a PLY file into structured numpy arrays.
+
+    Elements with only scalar properties (the gaussian-splat vertex table)
+    parse as one vectorised structured-dtype view; elements with list
+    properties (e.g. mesh faces) take a row-by-row path — slower, but a
+    PLY carrying a face element no longer fails to load (parity with the
+    reference's happly generality, include/happly.h).
+
+    vertex_range=(lo, hi) restricts the *vertex* element to rows
+    [lo, hi): for the common scalar-only binary layout the reader SEEKS
+    past the other rows, so a multi-host process touches only its own
+    slice of a huge scene (io cost scales with the shard, not the file —
+    the sharded-loading leg of north-star config 5). Other elements are
+    unaffected."""
     with open(path, "rb") as f:
         elements, fmt, offset = _parse_header(f)
         if fmt == "ascii":
@@ -91,21 +191,53 @@ def read_ply(path: str) -> PlyData:
             rows = text.split()
             pos = 0
             for el in elements:
+                if el.list_properties:
+                    pos = _read_list_element_ascii(el, rows, pos)
+                    if el.name == "vertex" and vertex_range is not None:
+                        lo, hi = vertex_range
+                        el.data = el.data[lo:hi] if el.data is not None \
+                            else None
+                        el.lists = {k: v[lo:hi]
+                                    for k, v in el.lists.items()}
+                        el.count = hi - lo
+                    continue
                 width = len(el.properties)
                 dt = np.dtype([(n, c) for n, c in el.properties])
-                flat = np.array(rows[pos:pos + el.count * width])
+                lo, hi = (0, el.count)
+                if el.name == "vertex" and vertex_range is not None:
+                    lo, hi = vertex_range
+                flat = np.array(rows[pos + lo * width:pos + hi * width])
                 pos += el.count * width
-                table = flat.reshape(el.count, width)
-                rec = np.empty(el.count, dt)
+                table = flat.reshape(hi - lo, width)
+                rec = np.empty(hi - lo, dt)
                 for i, (n, c) in enumerate(el.properties):
                     rec[n] = table[:, i].astype(np.dtype(c))
                 el.data = rec
+                el.count = hi - lo
         else:
             endian = "<" if fmt == "binary_little_endian" else ">"
             for el in elements:
+                if el.list_properties:
+                    _read_list_element_binary(el, f, endian)
+                    if el.name == "vertex" and vertex_range is not None:
+                        lo, hi = vertex_range
+                        el.data = el.data[lo:hi] if el.data is not None \
+                            else None
+                        el.lists = {k: v[lo:hi]
+                                    for k, v in el.lists.items()}
+                        el.count = hi - lo
+                    continue
                 dt = np.dtype([(n, endian + c) for n, c in el.properties])
-                buf = f.read(dt.itemsize * el.count)
-                el.data = np.frombuffer(buf, dt, count=el.count)
+                if el.name == "vertex" and vertex_range is not None:
+                    lo, hi = vertex_range
+                    f.seek(lo * dt.itemsize, 1)
+                    buf = f.read(dt.itemsize * (hi - lo))
+                    el.data = np.frombuffer(buf, dt, count=hi - lo)
+                    f.seek((el.count - hi) * dt.itemsize, 1)
+                    el.count = hi - lo
+                else:
+                    buf = f.read(dt.itemsize * el.count)
+                    el.data = np.frombuffer(buf, dt, count=el.count)
     return PlyData({el.name: el for el in elements}, fmt)
 
 
@@ -165,20 +297,27 @@ def gaussian_fields_from_ply(ply: PlyData):
     return out
 
 
-def read_xyz(path: str) -> np.ndarray:
+def read_xyz(path: str, row_range=None) -> np.ndarray:
     """Load a whitespace-separated xyz text point cloud -> (N, 3) f32.
 
     Parity with the reference loadXyz (src/splat/file_io.cpp:11-28).
     """
-    pts = np.loadtxt(path, dtype=np.float32, usecols=(0, 1, 2), ndmin=2)
+    kw = {}
+    if row_range is not None:
+        lo, hi = row_range
+        kw = {"skiprows": lo, "max_rows": hi - lo}
+    pts = np.loadtxt(path, dtype=np.float32, usecols=(0, 1, 2), ndmin=2,
+                     **kw)
     return pts.astype(np.float32)
 
 
-def load_points(path: str):
-    """Extension dispatch, parity with loadPoints (file_io.cpp:44-55)."""
+def load_points(path: str, row_range=None):
+    """Extension dispatch, parity with loadPoints (file_io.cpp:44-55).
+
+    row_range=(lo, hi): read only those vertex rows (sharded loading)."""
     ext = path.rsplit(".", 1)[-1].lower()
     if ext == "xyz":
-        return {"means": read_xyz(path)}
+        return {"means": read_xyz(path, row_range)}
     if ext == "ply":
-        return gaussian_fields_from_ply(read_ply(path))
+        return gaussian_fields_from_ply(read_ply(path, row_range))
     raise ValueError(f"unsupported scene file extension: .{ext}")

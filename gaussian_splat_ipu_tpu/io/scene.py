@@ -30,14 +30,23 @@ class Scene:
         return self.model.num_gaussians
 
 
-def load_scene(path: str, center: bool = True, flip_z: bool = True,
-               sh_degree: int = 0, default_log_scale: float = -4.0) -> Scene:
-    fields = ply_io.load_points(path)
+def assemble_scene(fields, center: bool = True, flip_z: bool = True,
+                   sh_degree: int = 0, default_log_scale: float = -4.0,
+                   center_point=None) -> Scene:
+    """Build a Scene from a parsed field dict (io/ply.load_points).
+
+    center_point: world centre computed elsewhere (e.g. the global bbox
+    midpoint a multi-host loader exchanges across processes,
+    parallel/multihost.py) — required for consistent centring when the
+    fields cover only this process's row slice."""
     means = fields["means"].astype(np.float32)
     if center:
-        bb_min, bb_max = means.min(0), means.max(0)
-        means = means - (bb_min + bb_max) * 0.5
+        if center_point is None:
+            bb_min, bb_max = means.min(0), means.max(0)
+            center_point = (bb_min + bb_max) * 0.5
+        means = means - np.asarray(center_point, np.float32)
     if flip_z:
+        means = means.copy()
         means[:, 2] = -means[:, 2]
     n = means.shape[0]
 
@@ -61,4 +70,18 @@ def load_scene(path: str, center: bool = True, flip_z: bool = True,
 
     model = GaussianModel.create(means, log_scales, quats, opacity, f_dc,
                                  f_rest, sh_degree)
+    if n == 0:  # a pure-padding shard slice (multi-host, tiny scene)
+        return Scene(model, np.full(3, np.inf, np.float32),
+                     np.full(3, -np.inf, np.float32))
     return Scene(model, means.min(0), means.max(0))
+
+
+def load_scene(path: str, center: bool = True, flip_z: bool = True,
+               sh_degree: int = 0, default_log_scale: float = -4.0,
+               row_range=None, center_point=None) -> Scene:
+    """Load + assemble in one step. row_range=(lo, hi): parse only those
+    vertex rows (sharded loading — see assemble_scene for the centring
+    contract)."""
+    fields = ply_io.load_points(path, row_range=row_range)
+    return assemble_scene(fields, center, flip_z, sh_degree,
+                          default_log_scale, center_point)

@@ -24,6 +24,88 @@ def _free_port() -> int:
     return port
 
 
+def _write_gaussian_ply(path, n=96, seed=0):
+    from gaussian_splat_ipu_tpu.io import ply as ply_io
+
+    rng = np.random.default_rng(seed)
+    cols = {
+        "x": rng.uniform(-1, 1, n).astype(np.float32),
+        "y": rng.uniform(-1, 1, n).astype(np.float32),
+        "z": rng.uniform(-1, 1, n).astype(np.float32),
+        "f_dc_0": rng.normal(0.5, 0.5, n).astype(np.float32),
+        "f_dc_1": rng.normal(0.5, 0.5, n).astype(np.float32),
+        "f_dc_2": rng.normal(0.5, 0.5, n).astype(np.float32),
+        "opacity": rng.uniform(0, 3, n).astype(np.float32),
+        "scale_0": rng.uniform(-3.2, -2.2, n).astype(np.float32),
+        "scale_1": rng.uniform(-3.2, -2.2, n).astype(np.float32),
+        "scale_2": rng.uniform(-3.2, -2.2, n).astype(np.float32),
+        "rot_0": np.ones(n, np.float32),
+        "rot_1": np.zeros(n, np.float32),
+        "rot_2": np.zeros(n, np.float32),
+        "rot_3": np.zeros(n, np.float32),
+    }
+    ply_io.write_ply(path, cols)
+
+
+def test_two_process_sharded_scene_loading(tmp_path):
+    # VERDICT r1 #6: each process parses ONLY its slice of the scene file
+    # (asserted via a bytes-read spy in the child) and the distributed
+    # render of the jointly-assembled model matches a single-process load.
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    child = os.path.join(root, "tests", "_shard_load_child.py")
+    ply_path = str(tmp_path / "scene.ply")
+    _write_gaussian_ply(ply_path, n=96)
+    file_size = os.path.getsize(ply_path)
+    coord = f"127.0.0.1:{_free_port()}"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, child, str(pid), "2", coord, ply_path],
+        cwd=root, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True) for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("shard-load child timed out")
+        outs.append((p.returncode, out, err))
+
+    means, bytes_read = [], []
+    for rc, out, err in outs:
+        if "SKIP" in out:
+            pytest.skip(f"multi-process unsupported here: {out.strip()}")
+        assert rc == 0, f"child failed: {err[-2000:]}"
+        line = [l for l in out.splitlines() if l.startswith("MEAN")][-1]
+        means.append(float(line.split()[1]))
+        bytes_read.append(int(line.split()[3]))
+
+    assert means[0] == means[1]
+    # Each child read its header + ~half the vertex rows, not the file.
+    for b in bytes_read:
+        assert b < 0.75 * file_size, (b, file_size)
+
+    # Single-process full-load reference.
+    import jax
+
+    from gaussian_splat_ipu_tpu.io.scene import load_scene
+    from gaussian_splat_ipu_tpu.models.camera import Camera
+    from gaussian_splat_ipu_tpu.render.pipeline import render_image
+    from gaussian_splat_ipu_tpu.utils.config import RasterConfig
+
+    cfg = RasterConfig(image_width=64, image_height=256,
+                       pair_capacity=1 << 12, max_chunks_per_tile=4)
+    scene = load_scene(ply_path)
+    cam = Camera.orbit(scene.bb_min, scene.bb_max,
+                       fov_radians=np.radians(45.0), aspect=0.25)
+    ref = float(np.mean(np.asarray(
+        render_image(scene.model, cam, cfg, use_pallas=False))))
+    np.testing.assert_allclose(means[0], ref, rtol=1e-5, atol=1e-7)
+
+
 def test_two_process_render_matches_single():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     child = os.path.join(root, "tests", "_multihost_child.py")
