@@ -139,11 +139,9 @@ def main(argv=None) -> int:
 
     tc = trainer.TrainConfig(ssim_weight=args.ssim_weight,
                              scene_extent=extent)
-    use_dist = (args.distributed and len(jax.devices()) > 1
-                and not args.densify)
-    if args.densify and args.distributed:
-        log.warning("--densify runs single-device; ignoring --distributed")
+    use_dist = args.distributed and len(jax.devices()) > 1
     dstate = None
+    mesh = None
     if args.densify:
         from gaussian_splat_ipu_tpu.train import densify as densify_lib
         n0 = model.num_gaussians
@@ -159,6 +157,22 @@ def main(argv=None) -> int:
         state = trainer.init_state(densify_lib.pad_model(model, capacity),
                                    tc)
         step = None
+        if use_dist:
+            # Slot-buffer density control on the sharded trainer: the
+            # probe grads land shard-local, surgery runs on sharded state
+            # under jit (tests/test_densify_distributed.py).
+            from gaussian_splat_ipu_tpu.parallel import (distributed,
+                                                         mesh as meshlib)
+            mesh = meshlib.make_mesh()
+            state = trainer.TrainState(
+                params=meshlib.shard_model(state.params, mesh),
+                opt_state=state.opt_state, step=state.step)
+            if args.auto_grow:
+                log.warning("--auto-grow is single-device only; growth "
+                            "events disabled under --distributed")
+                args.auto_grow = False
+            log.info("distributed density control over %d devices",
+                     len(jax.devices()))
         log.info("density control on: %d init gaussians, capacity %d",
                  n0, capacity)
     elif use_dist:
@@ -184,7 +198,12 @@ def main(argv=None) -> int:
     cam_leaves_stacked = jax.tree_util.tree_leaves(cams_stacked)
 
     if args.densify:
-        raw_step = densify_lib.make_train_step(cfg, tc, True, jit=False)
+        if use_dist:
+            raw_step = distributed.make_sharded_densify_train_step(
+                mesh, cfg, tc, use_pallas=True, jit=False)
+        else:
+            raw_step = densify_lib.make_train_step(cfg, tc, True,
+                                                   jit=False)
 
         @jax.jit
         def epoch_densify(state, dstate):
@@ -210,10 +229,28 @@ def main(argv=None) -> int:
                 (cam_leaves_stacked, targets_stacked))
 
     if args.densify:
-        from gaussian_splat_ipu_tpu.render.pipeline import render as _render
-        _probe_one = jax.jit(
-            lambda m, c: (lambda o: (o.num_pairs + o.overflow, o.overflow))(
-                _render(m, c, cfg, True)))
+        if use_dist:
+            # Per-device pair budget (render_sharded default: even share
+            # with 2x imbalance slack); the soft guard compares global
+            # demand against the summed budget, and counted overflow
+            # catches any single hot device.
+            d_mesh = len(jax.devices())
+            per_dev = max(2 * cfg.pair_capacity // d_mesh,
+                          4 * cfg.chunk_size)
+            per_dev = -(-per_dev // cfg.chunk_size) * cfg.chunk_size
+            probe_capacity = per_dev * d_mesh
+            _probe_one = jax.jit(
+                lambda m, c: (lambda o: (o.num_pairs + o.overflow,
+                                         o.overflow))(
+                    distributed.render_sharded(m, c, cfg, mesh)))
+        else:
+            from gaussian_splat_ipu_tpu.render.pipeline import (
+                render as _render)
+            probe_capacity = cfg.pair_capacity
+            _probe_one = jax.jit(
+                lambda m, c: (lambda o: (o.num_pairs + o.overflow,
+                                         o.overflow))(
+                    _render(m, c, cfg, True)))
 
         def pair_probe(params):
             # Worst view governs: a guard probing only view 0 can pass
@@ -244,10 +281,10 @@ def main(argv=None) -> int:
                 if int(ovf) > 0:
                     log.warning("pair overflow (%d dropped) — raise "
                                 "--pair-capacity", int(ovf))
-                if demand > int(0.8 * cfg.pair_capacity):
+                if demand > int(0.8 * probe_capacity):
                     densify_open = False
                     log.info("pair demand %d near capacity %d: no further "
-                             "densification", demand, cfg.pair_capacity)
+                             "densification", demand, probe_capacity)
                 alive_now = int(jnp.sum(dstate.alive))
                 slot_cap = state.params.num_gaussians
                 if (args.auto_grow and densify_open

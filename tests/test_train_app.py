@@ -81,6 +81,41 @@ def test_train_cli_densify_mode(tmp_path, capsys):
     assert 1 <= back.num_gaussians <= 64
 
 
+def test_train_cli_densify_distributed(tmp_path, capsys):
+    # VERDICT r1 #5: --distributed --densify must actually run the
+    # sharded densify step (8-device virtual mesh), not fall back with a
+    # warning; final loss comparable to the single-device densify run.
+    from gaussian_splat_ipu_tpu.app import train as train_app
+
+    scene = str(tmp_path / "scene.ply")
+    _write_scene(scene, n=48)
+    out_ply = str(tmp_path / "trained.ply")
+    args = [
+        "--input", scene, "--width", "64", "--height", "64",
+        "--steps", "8", "--views", "2", "--mode", "distill",
+        "--init-gaussians", "24", "--ssim-weight", "0.0",
+        "--pair-capacity", str(1 << 12),
+        "--densify", "--capacity", "64", "--densify-from", "2",
+        "--densify-every", "2", "--densify-grad-threshold", "1e-7",
+        "--export-ply", out_ply, "--log-level", "off",
+    ]
+    rc = train_app.main(args + ["--distributed"])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    loss_dist = float(line.split()[0].split("=")[1])
+    assert np.isfinite(loss_dist)
+    from gaussian_splat_ipu_tpu.train import checkpoint
+    back = checkpoint.import_ply(out_ply)
+    assert 1 <= back.num_gaussians <= 64
+
+    rc = train_app.main(args)
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    loss_single = float(line.split()[0].split("=")[1])
+    # Same data, same init, same step count: distributed must land in the
+    # same loss regime (shard_map arithmetic is not bit-identical).
+    assert loss_dist < max(4.0 * loss_single, 0.2)
+
+
 def test_train_cli_dataset_mode(tmp_path, capsys):
     import json
 
