@@ -100,21 +100,73 @@ def main():
     float(jf(model, a1))  # compile + warm
     float(jf(model, a2))
 
-    t0 = time.perf_counter()
-    v1 = float(jf(model, a1))
-    t1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    v2 = float(jf(model, a2))
-    t2 = time.perf_counter() - t0
-    assert np.isfinite(v1) and np.isfinite(v2)
+    def measure_once():
+        t0 = time.perf_counter()
+        v1 = float(jf(model, a1))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        v2 = float(jf(model, a2))
+        t2 = time.perf_counter() - t0
+        assert np.isfinite(v1) and np.isfinite(v2)
+        return (t2 - t1) / (K2 - K1)
 
-    per_frame = (t2 - t1) / (K2 - K1)
+    # Median of 5 two-point measurements: one sample is vulnerable to a
+    # tunnel hiccup or a co-scheduled host burst (VERDICT r1 weak #1).
+    per_frame = float(np.median([measure_once() for _ in range(5)]))
     fps = 1.0 / per_frame
+
+    # Secondary headline: training-step latency (north-star config 3) on
+    # the same scene at 640x360 — K chained steps in one program, same
+    # two-point method.
+    from gaussian_splat_ipu_tpu.train import trainer as trainer_lib
+    from gaussian_splat_ipu_tpu.utils.config import (
+        RasterConfig as _RC)
+    tcfg = _RC(image_width=640, image_height=360,
+               pair_capacity=max(cfg.pair_capacity // 2,
+                                 4 * cfg.chunk_size))
+    tc = trainer_lib.TrainConfig(ssim_weight=0.0)
+    cam0 = Camera.orbit(bb_min, bb_max, fov, aspect, rot_y_deg=0.0)
+    from gaussian_splat_ipu_tpu.render.pipeline import render_image
+    target = jax.jit(render_image, static_argnums=(2, 3))(
+        model, cam0, tcfg, True)
+    state0 = trainer_lib.init_state(model, tc)
+
+    def steps(state, k_arr):
+        def body(s, _):
+            s, loss = trainer_lib.train_step(s, cam0, target, tcfg, tc,
+                                             True)
+            return s, loss
+        s, ls = jax.lax.scan(body, state, k_arr)
+        return ls[-1]
+
+    js = jax.jit(steps)
+    k1 = jnp.zeros((2,), jnp.float32)
+    k2 = jnp.zeros((12,), jnp.float32)
+    float(js(state0, k1))
+    float(js(state0, k2))
+
+    def measure_train():
+        t0 = time.perf_counter()
+        float(js(state0, k1))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(js(state0, k2))
+        t2 = time.perf_counter() - t0
+        return (t2 - t1) / 10.0
+
+    train_ms = 1e3 * float(np.median([measure_train() for _ in range(3)]))
+
+    # ONE JSON line (driver contract); auxiliary metrics ride as extra
+    # keys so the measurement is reproducible (pair capacity pinned) and
+    # config-3 latency is on the record too.
     print(json.dumps({
         "metric": f"forward_fps_1280x720_{n}g",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "pair_capacity": cfg.pair_capacity,
+        "train_step_ms_640x360": round(train_ms, 2),
+        "median_of": 5,
     }))
 
 
