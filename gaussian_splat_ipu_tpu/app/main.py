@@ -92,11 +92,14 @@ def main(argv=None) -> int:
     # Camera synthesis happens INSIDE the jitted program (state scalars are
     # traced args): eager per-frame camera math costs more than the render.
     def make_camera(state) -> Camera:
+        import jax.numpy as jnp
         return Camera.orbit(scene.bb_min, scene.bb_max, state["fov"],
                             aspect, rot_x_deg=state["rx"],
                             rot_y_deg=state["ry"],
                             translation=(state["x"], state["y"],
-                                         state["z"]))
+                                         state["z"]),
+                            env_rot=jnp.stack([state["erx"],
+                                               state["ery"]]))
 
     use_pallas = args.device == "tpu"
 
@@ -112,7 +115,7 @@ def main(argv=None) -> int:
                 np.int32(0), np.int32(0))
 
     state0 = {"fov": fov, "rx": 0.0, "ry": 0.0, "x": 0.0, "y": 0.0,
-              "z": 0.0}
+              "z": 0.0, "erx": 0.0, "ery": 0.0}
     example = (model, {k: np.float32(v) for k, v in state0.items()})
     # Two switchable programs, parity with the reference's runtime
     # cpu/ipu device toggle (src/main/splat.cpp:250-256): "project" is the
@@ -159,7 +162,19 @@ def main(argv=None) -> int:
                 program = ("points" if s.device in ("cpu", "points")
                            else "project")
                 state.update(fov=s.fov, rx=s.rot_x_deg, ry=s.rot_y_deg,
-                             x=s.x, y=s.y, z=s.z)
+                             x=s.x, y=s.y, z=s.z,
+                             erx=s.env_rotation_x, ery=s.env_rotation_y)
+                if s.detach:
+                    # Reference detach semantics (InterfaceServer.hpp:26-27
+                    # "Detach the remote-ui but continue: server can
+                    # destroy the communication interface and continue"):
+                    # tear down the client connection, keep rendering
+                    # headless, and keep listening so a viewer can
+                    # reconnect (which restarts the video stream on a
+                    # keyframe).
+                    ui_task.wait_for_completion()
+                    ui.drop_client()
+                    log.info("UI detached: rendering continues headless")
             elif not interactive:
                 state["ry"] = 360.0 * i / nframes
 
@@ -215,7 +230,9 @@ def main(argv=None) -> int:
 
                     def push(img=img_host, cnt=cnt_host, ex=exposure,
                              gm=gamma, ov=int(ovf_d), tr=int(trc_d)):
-                        ui.send_preview_image(img, ex, gm)
+                        # Continuous video stream (long-lived encoder,
+                        # ui/stream.py) — not independent stills.
+                        ui.send_video_frame(img, ex, gm)
                         ui.send_histogram(cnt, overflow=ov, truncated=tr)
 
                     ui_task.run(push)

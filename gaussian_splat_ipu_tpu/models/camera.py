@@ -21,12 +21,21 @@ from gaussian_splat_ipu_tpu.ops import transforms
 class Camera:
     """View + projection for one frame. A pytree; static shape."""
 
-    def __init__(self, view: jnp.ndarray, proj: jnp.ndarray):
+    def __init__(self, view: jnp.ndarray, proj: jnp.ndarray,
+                 env_rot: jnp.ndarray | None = None):
         self.view = view
         self.proj = proj
+        # Environment rotation (x, y) radians: rotates the directional
+        # appearance field (SH view directions) — the splat-native
+        # analogue of the reference's env-light rotation, which its UI
+        # forwards to the env shader (InterfaceServer.hpp:24-43
+        # env_rotation packets). Zero = unrotated.
+        self.env_rot = (jnp.zeros((2,), jnp.float32)
+                        if env_rot is None
+                        else jnp.asarray(env_rot, jnp.float32))
 
     def tree_flatten(self):
-        return ((self.view, self.proj), None)
+        return ((self.view, self.proj, self.env_rot), None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -102,7 +111,7 @@ class Camera:
     @classmethod
     def orbit(cls, bb_min, bb_max, fov_radians: float, aspect: float,
               rot_x_deg=0.0, rot_y_deg=0.0, translation=(0.0, 0.0, 0.0),
-              up=(0.0, 1.0, 1.0)) -> "Camera":
+              up=(0.0, 1.0, 1.0), env_rot=None) -> "Camera":
         """Orbit camera around a scene bounding box.
 
         Parity with the reference interactive loop's view synthesis
@@ -124,4 +133,5 @@ class Camera:
         eye = transforms.transform_points(base, corners)[:, :3]
         proj = transforms.fit_frustum_to_bounding_box(eye[0], eye[1],
                                                       fov_radians, aspect)
-        return cls(view.astype(jnp.float32), proj.astype(jnp.float32))
+        return cls(view.astype(jnp.float32), proj.astype(jnp.float32),
+                   env_rot)

@@ -69,6 +69,13 @@ def project_gaussians(model: GaussianModel, camera: Camera,
         dirs = means - camera.cam_origin[None, :]
         dirs = dirs / jnp.maximum(
             jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
+        # Environment rotation: spin the directional appearance field
+        # (the reference rotates its env light the same two axes,
+        # InterfaceServer.hpp env_rotation packets). Identity at zero.
+        rot = jnp.dot(transforms.rotate_y(camera.env_rot[1])[:3, :3],
+                      transforms.rotate_x(camera.env_rot[0])[:3, :3],
+                      preferred_element_type=jnp.float32)
+        dirs = jnp.dot(dirs, rot.T, preferred_element_type=jnp.float32)
         color = sh.eval_sh(model.sh, dirs, degree)
 
     opacity = model.opacities.astype(jnp.float32)

@@ -95,6 +95,9 @@ class InterfaceServer:
         self._server: Optional[socket.socket] = None
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
+        from gaussian_splat_ipu_tpu.ui.stream import VideoEncoder
+        self._encoder = VideoEncoder()
+        self._encoder_client = None
 
     # -- lifecycle ---------------------------------------------------------
     def start(self) -> None:
@@ -122,6 +125,19 @@ class InterfaceServer:
     def connected(self) -> bool:
         return self._client is not None
 
+    def drop_client(self) -> None:
+        """Destroy the client connection but keep serving (reference
+        detach semantics, InterfaceServer.hpp:26-27): the accept loop
+        stays alive, so a viewer can reconnect later — the video encoder
+        emits a fresh keyframe for it."""
+        client, self._client = self._client, None
+        if client is not None:
+            try:
+                client.close()
+            except OSError:
+                pass
+            log.info("UI client detached")
+
     # -- state (consume semantics, InterfaceServer.hpp:246-251) ------------
     def state_changed(self) -> bool:
         with self._lock:
@@ -131,6 +147,10 @@ class InterfaceServer:
         with self._lock:
             snap = dataclasses.replace(self._state)
             self._state.consumed = True
+            # detach is an EVENT, not a level: the reference app acts on
+            # it once and the next consume must not re-trigger it
+            # (InterfaceServer.hpp:24-43 detach packet semantics).
+            self._state.detach = False
         return snap
 
     # -- outgoing telemetry --------------------------------------------
@@ -149,6 +169,40 @@ class InterfaceServer:
         if payload is None:
             payload = image_util.encode_png(arr)
         self._send("render_preview", payload)
+
+    def send_video_frame(self, image, exposure: float = 1.0,
+                         gamma: float = 1.0) -> None:
+        """Push one frame of the CONTINUOUS preview stream.
+
+        Unlike send_preview_image (independent stills), frames go through
+        a long-lived stateful encoder (ui/stream.py): temporal P-frames
+        against the previous frame with periodic JPEG keyframes — the
+        role of the reference's persistent FFmpeg encoder
+        (InterfaceServer.hpp:100-108,322-328). A newly connected client
+        always starts on a keyframe (the encoder resets on accept)."""
+        client = self._client
+        if client is None:
+            return
+        if self._encoder_client is not client:
+            self._encoder.force_keyframe()
+            self._encoder_client = client
+        arr = image_util.to_uint8(np.asarray(image), exposure, gamma)
+        self._send("render_preview", self._encoder.encode(arr))
+
+    def send_hdr_image(self, image, chunk_bytes: int = 1 << 20) -> None:
+        """Chunked raw float32 HDR transfer (the reference's sendImage
+        path, InterfaceServer.hpp:335-386): an `hdr_header` JSON packet
+        announcing shape/chunk count, then `hdr_chunk` packets of raw
+        f32 bytes — lossless, for capture/debug rather than preview."""
+        arr = np.ascontiguousarray(np.asarray(image, np.float32))
+        raw = arr.tobytes()
+        nchunks = max(-(-len(raw) // chunk_bytes), 1)
+        self._send("hdr_header", json.dumps(
+            {"shape": list(arr.shape), "dtype": "float32",
+             "chunks": nchunks, "chunk_bytes": chunk_bytes}).encode())
+        for i in range(nchunks):
+            self._send("hdr_chunk",
+                       raw[i * chunk_bytes:(i + 1) * chunk_bytes])
 
     def send_histogram(self, counts, overflow: int = 0,
                        truncated: int = 0) -> None:
@@ -241,6 +295,8 @@ class InterfaceClient:
 
     def __init__(self, host: str, port: int, timeout: float = 5.0):
         self.sock = socket.create_connection((host, port), timeout=timeout)
+        self._decoder = None
+        self._hdr = None  # (meta, [chunks]) in-flight raw transfer
 
     def send(self, ptype: str, value=None) -> None:
         payload = json.dumps({"value": value}).encode()
@@ -248,6 +304,38 @@ class InterfaceClient:
 
     def recv(self):
         return _recv_packet(self.sock)
+
+    def decode_preview(self, payload: bytes):
+        """render_preview payload -> (H, W, C) u8 frame or None.
+
+        Handles the continuous GSV1 stream (stateful; P-frames before the
+        first keyframe yield None) and legacy JPEG/PNG stills."""
+        from gaussian_splat_ipu_tpu.ui import stream as stream_lib
+        if stream_lib.is_video_packet(payload):
+            if self._decoder is None:
+                self._decoder = stream_lib.VideoDecoder()
+            return self._decoder.decode(payload)
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return image_util.decode_png(payload)
+        from PIL import Image
+        import io as _bio
+        return np.asarray(Image.open(_bio.BytesIO(payload)))
+
+    def feed_hdr(self, ptype: str, payload: bytes):
+        """Assemble the chunked raw-HDR transfer; returns the f32 array
+        when the last chunk arrives, else None."""
+        if ptype == "hdr_header":
+            self._hdr = (json.loads(payload.decode()), [])
+            return None
+        if ptype == "hdr_chunk" and self._hdr is not None:
+            meta, chunks = self._hdr
+            chunks.append(payload)
+            if len(chunks) == meta["chunks"]:
+                self._hdr = None
+                return np.frombuffer(
+                    b"".join(chunks),
+                    np.float32).reshape(meta["shape"])
+        return None
 
     def close(self) -> None:
         self.sock.close()

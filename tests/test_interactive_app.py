@@ -64,25 +64,59 @@ def test_interactive_session(tmp_path):
     client.send("lambda2", 90.0)
     client.send("device", "cpu")
 
-    # Collect until we have a preview frame and a histogram.
-    got = {}
+    # Collect until we have a DECODED preview frame and a histogram: the
+    # preview channel is now a continuous video stream (ui/stream.py) and
+    # a fresh client must be able to join it (keyframe first).
+    frame = None
+    histogram = None
     deadline = time.time() + 60
-    while (("render_preview" not in got or "tile_histogram" not in got)
-           and time.time() < deadline):
+    while (frame is None or histogram is None) and time.time() < deadline:
         ptype, payload = client.recv()
-        got[ptype] = payload
-    assert "render_preview" in got
-    assert "tile_histogram" in got
-    preview = got["render_preview"]
-    if preview[:8] == b"\x89PNG\r\n\x1a\n":
-        frame = image_util.decode_png(preview)
-        assert frame.shape == (64, 64, 4)
-    else:                              # JPEG preview (PIL available)
-        import io
+        if ptype == "render_preview":
+            decoded = client.decode_preview(payload)
+            if decoded is not None:
+                frame = decoded
+        elif ptype == "tile_histogram":
+            histogram = payload
+    assert frame is not None, "no decodable preview frame"
+    assert frame.shape[:2] == (64, 64)
+    assert histogram is not None
+    import json
+    hist = json.loads(histogram.decode())
+    assert "overflow" in hist and "truncated" in hist
 
-        from PIL import Image
-        frame = np.asarray(Image.open(io.BytesIO(preview)))
-        assert frame.shape[:2] == (64, 64)
+    # Detach: the app must drop this connection but keep rendering and
+    # keep listening (reference detach comment, InterfaceServer.hpp:26-27).
+    client.send("detach")
+    deadline = time.time() + 30
+    dropped = False
+    while time.time() < deadline and not dropped:
+        try:
+            client.recv()
+        except socket.timeout:
+            continue
+        except (ConnectionError, OSError):
+            dropped = True
+    assert dropped, "server did not drop the detached client"
+    client.close()
+
+    # Reconnect: the accept loop is still alive, the stream restarts on
+    # a keyframe, and control still works.
+    client = None
+    deadline = time.time() + 30
+    while client is None and time.time() < deadline:
+        try:
+            client = InterfaceClient("127.0.0.1", port, timeout=10.0)
+        except OSError:
+            time.sleep(0.2)
+    assert client is not None, "could not reconnect after detach"
+    frame2 = None
+    deadline = time.time() + 60
+    while frame2 is None and time.time() < deadline:
+        ptype, payload = client.recv()
+        if ptype == "render_preview":
+            frame2 = client.decode_preview(payload)
+    assert frame2 is not None, "no keyframe after reconnect"
 
     client.send("stop")
     t.join(timeout=60)

@@ -76,3 +76,29 @@ def test_sh_grads_flow_at_degree2():
     assert np.all(np.isfinite(g_sh))
     # Higher-order coefficient grads are nonzero somewhere.
     assert np.abs(g_sh[:, 1:]).max() > 0.0
+
+
+def test_env_rotation_spins_directional_appearance():
+    # env_rotation plumb (reference env_rotation packets,
+    # InterfaceServer.hpp:24-43 -> env light shader): rotating the
+    # environment changes view-dependent (SH>=1) colour, is identity at
+    # zero, and leaves DC-only scenes untouched (an isotropic emitter
+    # has no directional appearance to spin).
+    model = GaussianModel.random(jax.random.PRNGKey(5), 64, sh_degree=1)
+    base = _cam()
+    rotated = Camera(base.view, base.proj,
+                     env_rot=jnp.array([0.0, np.radians(90.0)]))
+    img0 = np.asarray(render_image(model, base, CFG, use_pallas=False))
+    img0b = np.asarray(render_image(
+        model, Camera(base.view, base.proj, env_rot=jnp.zeros(2)),
+        CFG, use_pallas=False))
+    img1 = np.asarray(render_image(model, rotated, CFG, use_pallas=False))
+    np.testing.assert_array_equal(img0, img0b)
+    assert np.abs(img1 - img0).max() > 1e-3
+
+    dc = GaussianModel.random(jax.random.PRNGKey(6), 64, sh_degree=0)
+    d0 = np.asarray(render_image(dc, base, CFG, use_pallas=False))
+    d1 = np.asarray(render_image(
+        dc, Camera(base.view, base.proj,
+                   env_rot=jnp.array([0.3, 0.7])), CFG, use_pallas=False))
+    np.testing.assert_array_equal(d0, d1)
