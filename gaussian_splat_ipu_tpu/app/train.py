@@ -146,8 +146,17 @@ def main(argv=None) -> int:
         from gaussian_splat_ipu_tpu.train import densify as densify_lib
         n0 = model.num_gaussians
         capacity = args.capacity or 2 * n0
+        gscale = 1.0
+        if args.ssim_weight > 0.0:
+            # L1-calibrated threshold, SSIM-weighted loss: normalise by
+            # the measured gradient scale of the mix or densification
+            # over-grows (train/densify.py::loss_mix_scale).
+            gscale = densify_lib.loss_mix_scale(
+                model, cameras[0], targets[0], cfg, args.ssim_weight)
+            log.info("densify threshold scaled x%.2f for ssim_weight "
+                     "%.2f", gscale, args.ssim_weight)
         dcfg = densify_lib.DensifyConfig(
-            grad_threshold=args.densify_grad_threshold,
+            grad_threshold=args.densify_grad_threshold * gscale,
             densify_every=max(args.densify_every // args.views, 1)
             * args.views,  # events land on epoch boundaries
             densify_from_step=args.densify_from,

@@ -156,6 +156,45 @@ def compact(model: GaussianModel, dstate: DensifyState) -> GaussianModel:
 # Training step with gradient-statistics accumulation
 # ---------------------------------------------------------------------------
 
+def loss_mix_scale(model: GaussianModel, camera: Camera,
+                   target: jnp.ndarray, raster_cfg: RasterConfig,
+                   ssim_weight: float, use_pallas: bool = False) -> float:
+    """Screen-gradient scale of the (1-w)*L1 + w*DSSIM mix, relative to
+    pure L1 — the normalisation that keeps DensifyConfig.grad_threshold
+    (calibrated on L1, the standard 2e-4) meaningful at any ssim_weight.
+
+    DSSIM's per-pixel gradients are an order of magnitude larger than
+    L1's (they are variance-normalised), so probe gradients grow nearly
+    linearly in the mix: measured on held scenes,
+    mean_grad(w) ~ (1-w)*gL1 + w*gSSIM with gSSIM/gL1 ~ 15-20 but
+    scene-dependent — hence this MEASURES the ratio on the actual scene
+    (two extra backward passes, once per run) instead of hard-coding it.
+    Callers multiply grad_threshold by the returned scale (= 1 at w=0).
+    """
+    if ssim_weight <= 0.0:
+        return 1.0
+    half_wh = jnp.array([0.5 * raster_cfg.image_width,
+                         0.5 * raster_cfg.image_height], jnp.float32)
+
+    def mean_gnorm(loss_img_fn):
+        def loss_fn(probe):
+            out = render(model, camera, raster_cfg, use_pallas,
+                         xy_probe=probe)
+            return loss_img_fn(out.image), out.visible
+        probe = jnp.zeros((model.num_gaussians, 2), jnp.float32)
+        g, vis = jax.grad(loss_fn, has_aux=True)(probe)
+        gn = jnp.linalg.norm(g * half_wh[None, :], axis=-1)
+        denom = jnp.maximum(jnp.sum(vis.astype(jnp.float32)), 1.0)
+        return jnp.sum(jnp.where(vis, gn, 0.0)) / denom
+
+    g_l1 = float(mean_gnorm(
+        lambda im: losses.l1(im[..., :3], target[..., :3])))
+    g_ssim = float(mean_gnorm(
+        lambda im: losses.dssim(im[..., :3], target[..., :3])))
+    alpha = g_ssim / max(g_l1, 1e-12)
+    return (1.0 - ssim_weight) + ssim_weight * alpha
+
+
 def make_train_step(raster_cfg: RasterConfig, train_cfg: trainer.TrainConfig,
                     use_pallas: bool = True, jit: bool = True):
     """Train step that also accumulates densification statistics.
@@ -374,6 +413,15 @@ def fit_densify(model: GaussianModel, cameras, targets,
     n0 = model.num_gaussians
     if capacity is None:
         capacity = max(2 * n0, 1024)
+    if train_cfg.ssim_weight > 0.0:
+        # Keep the L1-calibrated grad_threshold meaningful under an
+        # SSIM-weighted loss (otherwise densification over-grows: SSIM
+        # probe gradients are ~15-20x L1's).
+        scale = loss_mix_scale(model, cameras[0], targets[0], raster_cfg,
+                               train_cfg.ssim_weight, use_pallas)
+        densify_cfg = dataclasses.replace(
+            densify_cfg,
+            grad_threshold=densify_cfg.grad_threshold * scale)
     dstate = init_state(n0, capacity, key)
     state = trainer.init_state(pad_model(model, capacity), train_cfg)
     step = make_train_step(raster_cfg, train_cfg, use_pallas)

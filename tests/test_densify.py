@@ -200,3 +200,51 @@ def test_grow_capacity_extends_slot_buffer():
     target = jnp.zeros((64, 64, 4), jnp.float32)
     s4, d4, loss = step(s3, d3, _cam(), target)
     assert np.isfinite(float(loss))
+
+
+def test_loss_mix_scale_normalizes_probe_grads():
+    # VERDICT r1 #10: SSIM-weighted losses produce ~15-20x larger screen
+    # gradients, over-growing densification against an L1-calibrated
+    # threshold. loss_mix_scale measures the mix's gradient scale; after
+    # dividing by it, the mean probe gradient must be ssim_weight-
+    # invariant (within measurement noise).
+    import jax
+    import jax.numpy as jnp
+
+    from gaussian_splat_ipu_tpu.models.camera import Camera
+    from gaussian_splat_ipu_tpu.render.pipeline import render, render_image
+    from gaussian_splat_ipu_tpu.train import losses as loss_lib
+
+    cfg = RasterConfig(image_width=96, image_height=96,
+                       pair_capacity=1 << 13, max_chunks_per_tile=8)
+    scene = GaussianModel.random(jax.random.PRNGKey(0), 256, extent=1.0)
+    cam = Camera.orbit(np.array([-1, -1, -1], np.float32),
+                       np.array([1, 1, 1], np.float32),
+                       fov_radians=np.radians(40.0), aspect=1.0)
+    target = render_image(scene, cam, cfg, use_pallas=False)
+    model = GaussianModel.random(jax.random.PRNGKey(1), 256, extent=1.0)
+    half_wh = jnp.array([48.0, 48.0], jnp.float32)
+
+    def mean_gnorm(lam):
+        def loss_fn(probe):
+            out = render(model, cam, cfg, use_pallas=False,
+                         xy_probe=probe)
+            return (loss_lib.render_loss(out.image, target, lam),
+                    out.visible)
+        probe = jnp.zeros((256, 2), jnp.float32)
+        g, vis = jax.grad(loss_fn, has_aux=True)(probe)
+        gn = jnp.linalg.norm(g * half_wh[None, :], axis=-1)
+        return float(jnp.sum(jnp.where(vis, gn, 0.0))
+                     / jnp.maximum(jnp.sum(vis.astype(jnp.float32)), 1))
+
+    base = mean_gnorm(0.0)
+    for lam in (0.2, 0.4):
+        scale = densify.loss_mix_scale(model, cam, target, cfg, lam)
+        assert scale > 1.5, f"scale at lam={lam} suspiciously small"
+        raw = mean_gnorm(lam)
+        assert raw > 2.0 * base  # the problem is real...
+        normalized = raw / scale
+        # ...and the normalisation removes it.
+        assert abs(normalized - base) / base < 0.3, (
+            lam, raw, scale, base)
+    assert densify.loss_mix_scale(model, cam, target, cfg, 0.0) == 1.0
