@@ -91,14 +91,36 @@ def load_transforms(path: str, downscale: int = 1,
     if not frames:
         raise ValueError(f"{path}: no frames")
 
-    cameras, images = [], []
-    width = height = None
+    paths = []
     for fr in frames:
-        file_path = fr["file_path"]
-        img_path = os.path.join(root, file_path)
+        img_path = os.path.join(root, fr["file_path"])
         if not os.path.splitext(img_path)[1]:
             img_path += ".png"              # blender style bare stems
-        img, (w0, h0) = _load_image(img_path, downscale)
+        paths.append(img_path)
+
+    # Prefetch: the native worker pool (csrc/dataloader.cpp) decodes PNGs
+    # concurrently while this loop consumes them in order; per-file
+    # fallback to PIL covers anything the native decoder rejects.
+    prefetch = None
+    jobs = None
+    try:
+        from gaussian_splat_ipu_tpu.io.native import ImagePrefetcher
+        prefetch = ImagePrefetcher()
+        jobs = [prefetch.submit(p, downscale) for p in paths]
+    except (RuntimeError, OSError):
+        prefetch = None
+
+    cameras, images = [], []
+    width = height = None
+    for k, fr in enumerate(frames):
+        img_path = paths[k]
+        got = prefetch.fetch(jobs[k]) if prefetch is not None else None
+        if got is not None:
+            img, (w0, h0) = got
+            if img.shape[-1] == 1:
+                img = np.repeat(img, 3, axis=-1)
+        else:
+            img, (w0, h0) = _load_image(img_path, downscale)
         h, w = img.shape[:2]
         if width is None:
             width, height = w, h
@@ -128,5 +150,7 @@ def load_transforms(path: str, downscale: int = 1,
                                               w2c_cv, near, far))
         images.append(img)
 
+    if prefetch is not None:
+        prefetch.close()
     return FrameSet(cameras=cameras, images=images, width=width,
                     height=height)

@@ -43,6 +43,19 @@ def load_library() -> Optional[ctypes.CDLL]:
     lib.u8_from_f32.argtypes = [ctypes.c_void_p, i64, ctypes.c_float,
                                 ctypes.c_float, ctypes.c_void_p]
     lib.u8_from_f32.restype = None
+    lib.loader_create.argtypes = [i64]
+    lib.loader_create.restype = ctypes.c_void_p
+    lib.loader_destroy.argtypes = [ctypes.c_void_p]
+    lib.loader_destroy.restype = None
+    lib.loader_submit.argtypes = [ctypes.c_void_p, ctypes.c_char_p, i64]
+    lib.loader_submit.restype = i64
+    lib.loader_fetch.argtypes = [
+        ctypes.c_void_p, i64, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(i64), ctypes.POINTER(i64), ctypes.POINTER(i64),
+        ctypes.POINTER(i64), ctypes.POINTER(i64)]
+    lib.loader_fetch.restype = i64
+    lib.loader_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+    lib.loader_free.restype = None
     _lib = lib
     return _lib
 
@@ -95,6 +108,62 @@ def center_flip(xyz: np.ndarray) -> Optional[np.ndarray]:
                         xyz.shape[0], xyz.shape[1],
                         bb.ctypes.data_as(ctypes.c_void_p))
     return bb.reshape(2, 3)
+
+
+class ImagePrefetcher:
+    """Threaded native PNG decoder (csrc/dataloader.cpp).
+
+    submit() paths up front; fetch() blocks until that image is decoded
+    (workers run ahead on the rest — the prefetch). A fetch whose status
+    is nonzero (unsupported PNG flavour, JPEG, ...) returns None and the
+    caller falls back to PIL for that file. The prefetcher is the
+    TPU-framework analogue of the reference's native host loader
+    (src/splat/file_io.cpp), extended to the training data path.
+    """
+
+    def __init__(self, nthreads: int = 0):
+        lib = load_library()
+        if lib is None:
+            raise RuntimeError("native library not built (make -C csrc)")
+        self._lib = lib
+        self._handle = lib.loader_create(nthreads)
+
+    def submit(self, path: str, downscale: int = 1) -> int:
+        return int(self._lib.loader_submit(
+            self._handle, path.encode(), max(int(downscale), 1)))
+
+    def fetch(self, job_id: int):
+        """-> (array (h, w, c) f32 in [0,1], (w0, h0)) or None."""
+        data = ctypes.POINTER(ctypes.c_float)()
+        w = ctypes.c_int64()
+        h = ctypes.c_int64()
+        c = ctypes.c_int64()
+        w0 = ctypes.c_int64()
+        h0 = ctypes.c_int64()
+        status = self._lib.loader_fetch(
+            self._handle, job_id, ctypes.byref(data), ctypes.byref(w),
+            ctypes.byref(h), ctypes.byref(c), ctypes.byref(w0),
+            ctypes.byref(h0))
+        if status != 0:
+            return None
+        try:
+            n = w.value * h.value * c.value
+            arr = np.ctypeslib.as_array(data, shape=(n,)).reshape(
+                h.value, w.value, c.value).copy()
+        finally:
+            self._lib.loader_free(data)
+        return arr, (w0.value, h0.value)
+
+    def close(self) -> None:
+        if self._handle is not None:
+            self._lib.loader_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):  # best-effort; close() is the real API
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def to_uint8(img: np.ndarray, exposure: float = 1.0,

@@ -78,3 +78,103 @@ def test_ply_load_uses_native_and_matches(tmp_path):
     np.testing.assert_array_equal(
         fields["quats"],
         np.stack([cols[f"rot_{i}"] for i in range(4)], -1))
+
+
+def test_image_prefetcher_matches_pil(tmp_path):
+    # Native PNG decode (csrc/dataloader.cpp) vs PIL, exact at
+    # downscale=1 for every supported colour type.
+    from PIL import Image
+
+    from gaussian_splat_ipu_tpu.utils import image as image_util
+
+    rng = np.random.default_rng(4)
+    cases = {
+        "rgb.png": rng.integers(0, 255, (40, 56, 3), dtype=np.uint8),
+        "rgba.png": rng.integers(0, 255, (33, 48, 4), dtype=np.uint8),
+        "gray.png": rng.integers(0, 255, (25, 31), dtype=np.uint8),
+    }
+    for name, arr in cases.items():
+        # Write through PIL so the files exercise filters our own
+        # encode_png never emits.
+        Image.fromarray(arr).save(str(tmp_path / name))
+
+    pf = native.ImagePrefetcher(nthreads=2)
+    jobs = {n: pf.submit(str(tmp_path / n)) for n in cases}
+    for name, arr in cases.items():
+        got = pf.fetch(jobs[name])
+        assert got is not None, f"native decode failed for {name}"
+        img, (w0, h0) = got
+        assert (w0, h0) == (arr.shape[1], arr.shape[0])
+        want = arr.astype(np.float32) / 255.0
+        if want.ndim == 2:
+            want = want[:, :, None]
+        np.testing.assert_allclose(img, want, atol=1e-6)
+    pf.close()
+
+
+def test_image_prefetcher_downscale_antialiased(tmp_path):
+    from PIL import Image
+
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float32)
+    smooth = np.stack([xx * 4, yy * 4, (xx + yy) * 2], -1).astype(np.uint8)
+    p = str(tmp_path / "s.png")
+    Image.fromarray(smooth).save(p)
+
+    pf = native.ImagePrefetcher(nthreads=1)
+    got = pf.fetch(pf.submit(p, downscale=2))
+    pf.close()
+    assert got is not None
+    img, _ = got
+    assert img.shape == (32, 32, 3)
+    # Area-average reduction: within a hair of PIL's antialiased resize
+    # on smooth content.
+    pil = np.asarray(Image.open(p).resize((32, 32), Image.BILINEAR),
+                     dtype=np.float32) / 255.0
+    assert np.abs(img - pil).mean() < 0.02
+
+
+def test_image_prefetcher_rejects_unsupported(tmp_path):
+    # A palette PNG must return None (PIL fallback), not garbage.
+    from PIL import Image
+
+    arr = np.random.default_rng(5).integers(0, 255, (16, 16, 3),
+                                            dtype=np.uint8)
+    img = Image.fromarray(arr).convert("P")
+    p = str(tmp_path / "pal.png")
+    img.save(p)
+    pf = native.ImagePrefetcher(nthreads=1)
+    assert pf.fetch(pf.submit(p)) is None
+    assert pf.fetch(pf.submit(str(tmp_path / "missing.png"))) is None
+    pf.close()
+
+
+def test_dataset_prefetch_end_to_end(tmp_path):
+    # load_transforms through the native prefetcher matches the PIL path.
+    import json
+    import os
+
+    from PIL import Image
+
+    from gaussian_splat_ipu_tpu.io import dataset as dataset_lib
+
+    root = str(tmp_path / "ds")
+    os.makedirs(root)
+    rng = np.random.default_rng(6)
+    frames = []
+    for i in range(3):
+        arr = rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(os.path.join(root, f"r_{i}.png"))
+        c2w = np.eye(4)
+        c2w[2, 3] = 3.0 + i
+        frames.append({"file_path": f"r_{i}",
+                       "transform_matrix": c2w.tolist()})
+    with open(os.path.join(root, "transforms_train.json"), "w") as f:
+        json.dump({"camera_angle_x": 0.8, "frames": frames}, f)
+
+    fs = dataset_lib.load_transforms(root)
+    assert len(fs) == 3
+    for i in range(3):
+        pil = np.asarray(Image.open(os.path.join(root, f"r_{i}.png")),
+                         dtype=np.float32) / 255.0
+        np.testing.assert_allclose(np.asarray(fs.images[i]), pil,
+                                   atol=1e-6)
