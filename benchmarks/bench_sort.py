@@ -1,0 +1,107 @@
+"""Microbenchmark: binning sort strategies at 1M-gaussian scale.
+
+Answers the round-2 question (VERDICT r1 next-step #2): is the 84.8 ms
+1M-gaussian frame's dominant cost — the P-wide 12-operand radix sort —
+reducible by (a) pre-sorting the N gaussians by depth so the P-sort needs
+only a small-range tile key, (b) sorting (key, gid) and row-gathering
+afterwards, or (c) narrower keys (does XLA:TPU prune radix passes by key
+bit-width at all)?
+
+Run on the real chip:  python benchmarks/bench_sort.py
+(Two-point chained-scan timing — the only honest method through the axon
+tunnel, where block_until_ready returns early; see utils/profiling.py.)
+"""
+
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/gsplat_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    print("devices:", jax.devices(), flush=True)
+
+    P = 1 << 22
+    N = 1 << 20
+    rng = np.random.default_rng(0)
+    gid = jnp.asarray(rng.integers(0, N, P, dtype=np.int32))
+    cols = [jnp.asarray(rng.normal(size=P).astype(np.float32))
+            for _ in range(10)]
+    colmat = jnp.stack(cols, axis=-1)
+    nbody = jnp.asarray(rng.normal(size=(N, 12)).astype(np.float32))
+
+    def timed(name, fn, x0):
+        """fn: carry -> carry (same shape/dtype); two-point over a scan."""
+        def chain(k):
+            @jax.jit
+            def run(c0):
+                def body(c, _):
+                    return fn(c), None
+                c, _ = jax.lax.scan(body, c0, None, length=k)
+                return c.astype(jnp.float32).sum()
+            return run
+
+        k1, k2 = 1, 5
+        j1, j2 = chain(k1), chain(k2)
+        float(j1(x0))
+        float(j2(x0))
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(j1(x0))
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(j2(x0))
+            t2 = time.perf_counter() - t0
+            best = min(best, (t2 - t1) / (k2 - k1))
+        print(f"{name:46s} {1e3 * best:8.2f} ms", flush=True)
+        return best
+
+    def perturb(k, width):
+        # cheap key refresh so chained iterations aren't degenerate
+        return ((k * 1103515245 + 12345) & (width - 1)).astype(jnp.int32)
+
+    key31 = jnp.asarray(rng.integers(0, 1 << 31, P, dtype=np.int32))
+    key12 = jnp.asarray(rng.integers(0, 2048, P, dtype=np.int32))
+    nkey = jnp.asarray(rng.integers(0, 1 << 31, N, dtype=np.int32))
+
+    # (a) current fused path: 31-bit key, 12 operands over P
+    timed("fused 31-bit key, 12 operands, P=2^22",
+          lambda k: perturb(jax.lax.sort(tuple([k, gid] + cols),
+                                         num_keys=1)[0], 1 << 31), key31)
+    # (b) small-range tile-only key, same operands
+    timed("tile-only key (range 2048), 12 operands",
+          lambda k: perturb(jax.lax.sort(tuple([k, gid] + cols),
+                                         num_keys=1)[0], 2048), key12)
+    # (c) key+gid sort then a (P,10) row gather
+    def sort_gather(k):
+        ks, gs = jax.lax.sort((k, gid), num_keys=1)
+        mix = jax.lax.bitcast_convert_type(colmat[gs].sum(-1), jnp.int32)
+        return perturb(ks ^ (mix & 1), 1 << 31)
+
+    timed("key+gid sort + (P,10) row gather", sort_gather, key31)
+    # (d) the presort's N-scale cost: 2-op sort over N + (N,12) gather
+    def npresort(k):
+        ks, perm = jax.lax.sort(
+            (k, jnp.arange(N, dtype=jnp.int32)), num_keys=1)
+        mix = jax.lax.bitcast_convert_type(nbody[perm].sum(-1), jnp.int32)
+        return perturb(ks ^ (mix & 1), 1 << 31)
+
+    timed("N=2^20 presort (2 ops) + (N,12) gather", npresort, nkey)
+    # (e) key width scaling with minimal operands
+    timed("i32 31-bit key + gid only",
+          lambda k: perturb(jax.lax.sort((k, gid), num_keys=1)[0],
+                            1 << 31), key31)
+    timed("i32 11-bit key + gid only",
+          lambda k: perturb(jax.lax.sort((k, gid), num_keys=1)[0], 2048),
+          key12)
+    # (f) pure expansion-side costs for context
+    timed("cummax over P", lambda k: jax.lax.cummax(k), key31)
+
+
+if __name__ == "__main__":
+    main()

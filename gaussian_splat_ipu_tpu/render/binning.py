@@ -239,6 +239,67 @@ _fused_sorted_feature_table.defvjp(_fused_sorted_feature_table_fwd,
                                    _fused_sorted_feature_table_bwd)
 
 
+@jax.custom_vjp
+def _presorted_feature_table(packed, rank, gid_pre, ntx_s):
+    """Tile-only single-key sort over pairs of DEPTH-PRESORTED gaussians.
+
+    packed: (N+1, NUM_FEATURES + 2) rows in depth order — the 10 feature
+    columns, the packed coverage geometry (as in the fused path), and the
+    ORIGINAL gaussian id bitcast to f32 (so pair_gid can be reported in
+    caller space without a (P,)-element gather, which costs ~30 ms at
+    P=2^22). gid_pre indexes the DEPTH-SORTED rows, ascending.
+
+    Because the pair stream is generated in depth order and the sort is
+    stable, sorting by tile id alone yields (tile, depth)-sorted pairs
+    with EXACT f32 depth order (the fused path quantizes depth into the
+    key's spare bits). The key's value range is just the tile count — a
+    microbenchmark target for radix-pass pruning vs the 31-bit fused key.
+
+    Returns (feats (TABLE_ROWS, P), tile_s, gid_s (depth-space),
+    orig_gid_s (caller-space)).
+    """
+    is_pad = gid_pre >= packed.shape[0] - 1
+    table = packed[gid_pre]                 # (P, F+2) ascending gather
+    geom_g = jax.lax.bitcast_convert_type(table[:, NUM_FEATURES],
+                                          jnp.int32)
+    gx0 = geom_g & 0xFFF
+    gy0 = (geom_g >> 12) & 0xFFF
+    gnx = jnp.maximum(geom_g >> 24, 1)
+    ty_off = jnp.floor(rank.astype(jnp.float32)
+                       / gnx.astype(jnp.float32)).astype(jnp.int32)
+    tx = gx0 + rank - ty_off * gnx
+    ty = gy0 + ty_off
+    key = jnp.where(is_pad, jnp.int32(0x7FFFFFFF), ty * ntx_s + tx)
+    orig_gid = jax.lax.bitcast_convert_type(table[:, NUM_FEATURES + 1],
+                                            jnp.int32)
+    cols = [table[:, i] for i in range(NUM_FEATURES)]
+    out = jax.lax.sort(tuple([key, gid_pre, orig_gid] + cols), num_keys=1)
+    feats = jnp.concatenate(
+        [jnp.stack(out[3:], axis=0),
+         jnp.zeros((TABLE_ROWS - NUM_FEATURES, rank.shape[0]),
+                   jnp.float32)], axis=0)
+    return feats, out[0], out[1], out[2]
+
+
+def _presorted_feature_table_fwd(packed, rank, gid_pre, ntx_s):
+    out = _presorted_feature_table(packed, rank, gid_pre, ntx_s)
+    return out, (out[2], packed.shape[0])
+
+
+def _presorted_feature_table_bwd(res, cotangents):
+    gid_s, n_rows = res
+    rows = cotangents[0][:NUM_FEATURES].T
+    dbody = jnp.zeros((n_rows, NUM_FEATURES), rows.dtype)
+    dbody = dbody.at[gid_s].add(rows)
+    dpacked = jnp.concatenate(
+        [dbody, jnp.zeros((n_rows, 2), rows.dtype)], axis=-1)
+    return dpacked, None, None, None
+
+
+_presorted_feature_table.defvjp(_presorted_feature_table_fwd,
+                                _presorted_feature_table_bwd)
+
+
 def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
                row_lo=None, num_rows: int | None = None,
                pair_capacity: int | None = None) -> BinnedSplats:
@@ -272,6 +333,37 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
     x0, y0, nx, ny = tile_ranges_of(splats, cfg, row_lo, row_hi)
     ncov = (nx * ny).astype(jnp.int32)
 
+    # Packed per-gaussian coverage geometry: x0/y0 need <=12 bits each
+    # (4096-tile axes), nx 5 bits. Bitcast to f32, it rides the one
+    # per-pair row gather — a separate (P,) geometry gather costs ~30 ms
+    # at P=2^22.
+    geom = jnp.where(ncov > 0, x0 | (y0 << 12) | (nx << 24), 0)
+    body = jnp.concatenate([
+        splats.xy, splats.conic, splats.color,
+        splats.opacity[:, None], splats.depth[:, None],
+    ], axis=-1)                                   # (N, 10)
+
+    max_query_tid = (cfg.tiles_y + num_rows) * ntx
+    tile_bits = (max_query_tid + 1).bit_length()
+    use_presort = (cfg.presort_depth and cfg.fused_sort_key
+                   and tile_bits <= 31 and n > 0)
+    perm = None
+    if use_presort:
+        # Depth-presort the GAUSSIANS (N elements, not P pairs): the pair
+        # stream below then comes out in depth order and the P-wide sort
+        # needs only the small-range tile key; stability does the rest.
+        depth_key = jax.lax.bitcast_convert_type(
+            jax.lax.stop_gradient(splats.depth).astype(jnp.float32),
+            jnp.int32)
+        # Culled gaussians (ncov == 0) generate no pairs; force them last
+        # anyway so negative-depth bit patterns cannot interleave.
+        depth_key = jnp.where(ncov > 0, depth_key, jnp.int32(0x7FFFFFFF))
+        _, perm = jax.lax.sort(
+            (depth_key, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+        body = body[perm]
+        geom = geom[perm]
+        ncov = ncov[perm]
+
     # Expand to (gaussian, tile) pairs: scatter each gaussian's id (and its
     # first slot) at that slot, forward-fill both with cummax — two radix-
     # friendly scans, no division, no binary search. (The obvious
@@ -298,12 +390,6 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
     rank = slot - jax.lax.cummax(jnp.where(gid != prev_gid, slot, 0))
     is_pad = gid >= n
 
-    # Packed per-gaussian coverage geometry: x0/y0 need <=12 bits each
-    # (4096-tile axes), nx 5 bits. Bitcast to f32, it rides the one
-    # per-pair row gather inside _fused_sorted_feature_table — a separate
-    # (P,) geometry gather costs ~30 ms at P=2^22.
-    geom = jnp.where(ncov > 0, x0 | (y0 << 12) | (nx << 24), 0)
-
     # Per-gaussian packed rows (N+1, 16); row N stays zero for pad pairs, so
     # padding renders as alpha=0 and a garbage-free conic. Expanded to the
     # (P, 16) pair table BEFORE the sort: pre-sort gid is ascending, so this
@@ -312,22 +398,32 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
     # Chunk-aligned capacity means the last tile's floor-aligned chunk walk
     # never overruns the table — no extra pad column block needed.
     assert p % cfg.chunk_size == 0, "pair_capacity must be chunk-aligned"
-    body = jnp.concatenate([
-        splats.xy, splats.conic, splats.color,
-        splats.opacity[:, None], splats.depth[:, None],
-    ], axis=-1)                                   # (N, 10)
     gid_pre = jnp.where(is_pad, n, gid)
-    # Fused single-key sort when the tile id and a useful depth share an
-    # i32 (>=16 depth bits); exact two-pass (tile, full depth) otherwise.
+    # Sort-path selection. Fused: single (tile | quantized-depth) i32 key
+    # when the tile id and a useful depth share an i32 (>=16 depth bits).
+    # Presort: gaussians already depth-ordered above, tile-only key.
+    # Exact: two-pass (tile, full depth) fallback/debug path.
     # The pad sentinel recovers as the all-ones tile id (2^tile_bits - 1),
     # so the bit budget must cover the largest tile id the CSR queries —
     # on the last device of an uneven row sharding that includes PHANTOM
     # rows past the grid (up to row_lo + num_rows - 1), not just
     # num_tiles - 1; otherwise pads collide with a phantom tile and its
     # range spans the whole pad tail.
-    max_query_tid = (cfg.tiles_y + num_rows) * ntx
-    tile_bits = (max_query_tid + 1).bit_length()
-    if cfg.fused_sort_key and 31 - tile_bits >= 16:
+    if use_presort:
+        packed = jnp.concatenate(
+            [jnp.concatenate(
+                [body,
+                 jax.lax.bitcast_convert_type(geom, jnp.float32)[:, None],
+                 jax.lax.bitcast_convert_type(perm, jnp.float32)[:, None]],
+                axis=-1),
+             jnp.concatenate(
+                 [jnp.zeros((1, NUM_FEATURES + 1), jnp.float32),
+                  jax.lax.bitcast_convert_type(
+                      jnp.full((1, 1), n, jnp.int32), jnp.float32)],
+                 axis=-1)])
+        feats, tile_s, _, gid_s = _presorted_feature_table(
+            packed, rank, gid_pre, jnp.int32(ntx))
+    elif cfg.fused_sort_key and 31 - tile_bits >= 16:
         packed = jnp.concatenate(
             [jnp.concatenate(
                 [body, jax.lax.bitcast_convert_type(

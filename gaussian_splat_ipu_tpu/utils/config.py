@@ -79,6 +79,15 @@ class RasterConfig:
     # the exact sort only for gaussians closer together than that
     # resolution; set False for the exact two-pass (tile, full-depth) sort.
     fused_sort_key: bool = True
+    # Depth-presort binning: sort the N gaussians by depth once (cheap —
+    # N << P pairs), expand pairs in depth order, then bin with a
+    # TILE-ONLY single-key sort (stability preserves the depth order
+    # within each tile). The P-wide sort then carries a small-range key
+    # instead of (tile | depth) bits, and the depth ordering is EXACT
+    # (full 31-bit f32 order, unlike the quantized fused key). Requires
+    # fused_sort_key machinery; falls back to it when the tile-bit budget
+    # doesn't fit.
+    presort_depth: bool = False
 
     @property
     def tiles_x(self) -> int:

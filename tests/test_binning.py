@@ -181,3 +181,77 @@ def test_fused_pad_sentinel_clears_phantom_rows():
     assert counts.sum() == 1  # only the real pair, nothing from pads
     # Phantom-row tiles (local rows 12-13) are all empty.
     assert counts[12 * 100:].sum() == 0
+
+
+def test_presort_matches_exact_sort():
+    """Depth-presorted tile-only sort == exact two-pass (tile, depth)
+    sort: same pairs, same order, same CSR ranges (the presort keeps
+    EXACT f32 depth order, unlike the quantized fused key)."""
+    import dataclasses
+    rng = np.random.default_rng(13)
+    n = 96
+    xy = rng.uniform(0, [128, 64], (n, 2)).astype(np.float32)
+    depth = rng.uniform(0.5, 50.0, n).astype(np.float32)
+    s = make_splats(xy.tolist(), rng.uniform(1, 6, n).tolist(),
+                    depth=depth.tolist())
+    b_pre = binning.bin_splats(
+        s, dataclasses.replace(CFG, presort_depth=True))
+    b_exact = binning.bin_splats(
+        s, dataclasses.replace(CFG, fused_sort_key=False))
+    np.testing.assert_array_equal(np.asarray(b_pre.pair_gid),
+                                  np.asarray(b_exact.pair_gid))
+    np.testing.assert_allclose(np.asarray(b_pre.features),
+                               np.asarray(b_exact.features))
+    np.testing.assert_array_equal(np.asarray(b_pre.tile_starts),
+                                  np.asarray(b_exact.tile_starts))
+    np.testing.assert_array_equal(np.asarray(b_pre.tile_ends),
+                                  np.asarray(b_exact.tile_ends))
+    assert int(b_pre.num_pairs) == int(b_exact.num_pairs)
+
+
+def test_presort_gradients_match_exact():
+    import dataclasses
+    import jax
+
+    rng = np.random.default_rng(14)
+    n = 24
+    xy = rng.uniform(0, [128, 64], (n, 2)).astype(np.float32)
+    depth = rng.uniform(0.5, 9.0, n).astype(np.float32)
+    s = make_splats(xy.tolist(), rng.uniform(1, 4, n).tolist(),
+                    depth=depth.tolist())
+
+    def loss_with(cfg):
+        def f(opacity):
+            b = binning.bin_splats(s._replace(opacity=opacity), cfg)
+            return jnp.sum(b.features[binning.FEAT_OPACITY]
+                           * (1.0 + b.features[binning.FEAT_R]))
+        return f
+
+    g_pre = jax.grad(loss_with(
+        dataclasses.replace(CFG, presort_depth=True)))(s.opacity)
+    g_exact = jax.grad(loss_with(
+        dataclasses.replace(CFG, fused_sort_key=False)))(s.opacity)
+    np.testing.assert_allclose(np.asarray(g_pre), np.asarray(g_exact),
+                               atol=1e-6)
+
+
+def test_presort_end_to_end_render_matches():
+    import dataclasses
+
+    import jax
+
+    from gaussian_splat_ipu_tpu.models.camera import Camera
+    from gaussian_splat_ipu_tpu.models.gaussians import GaussianModel
+    from gaussian_splat_ipu_tpu.render.pipeline import render
+
+    cfg = RasterConfig(image_width=96, image_height=96,
+                       pair_capacity=1 << 13, max_chunks_per_tile=8)
+    model = GaussianModel.random(jax.random.PRNGKey(3), 256, extent=1.0)
+    cam = Camera.orbit(np.array([-1, -1, -1], np.float32),
+                       np.array([1, 1, 1], np.float32),
+                       fov_radians=np.radians(40.0), aspect=1.0)
+    a = np.asarray(render(model, cam, cfg, use_pallas=False).image)
+    b = np.asarray(render(
+        model, cam, dataclasses.replace(cfg, presort_depth=True),
+        use_pallas=False).image)
+    np.testing.assert_allclose(a, b, atol=2e-5)
