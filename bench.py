@@ -46,7 +46,39 @@ def load_model_and_bounds():
         return model, -bb, bb
 
 
+def _device_alive(timeout_s: float = 120.0) -> bool:
+    """Probe the default backend with a tiny jitted op in a SUBPROCESS.
+
+    The tunneled TPU on this box can wedge (an in-flight op then blocks
+    forever, and so would the whole bench); a probe child can be killed
+    where an in-process hang cannot."""
+    import subprocess
+    import sys
+
+    code = ("import jax, jax.numpy as jnp;"
+            "print(float(jax.jit(lambda a:(a@a).sum())"
+            "(jnp.ones((128,128)))))")
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, timeout=timeout_s)
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _device_alive():
+        # Emit a well-formed record rather than hanging the driver: the
+        # accelerator is unreachable (tunnel outage), not slow.
+        print(json.dumps({
+            "metric": "forward_fps_1280x720_unavailable",
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "error": "device probe timed out: accelerator unreachable",
+        }))
+        return
+
     import jax
     import jax.numpy as jnp
 
