@@ -81,6 +81,20 @@ class GaussianModel:
             sh=_pad(self.sh),
         )
 
+    def with_sh_degree(self, degree: int) -> "GaussianModel":
+        """Resize the SH axis to (degree+1)^2 bands. New bands start at
+        zero (the 3DGS f_rest init); extra bands are truncated."""
+        k = (degree + 1) ** 2
+        cur = self.sh.shape[1]
+        if k == cur:
+            return self
+        if k < cur:
+            sh = self.sh[:, :k]
+        else:
+            sh = jnp.pad(self.sh, ((0, 0), (0, k - cur), (0, 0)))
+        return GaussianModel(self.means, self.log_scales, self.quats,
+                             self.opacities, sh)
+
     @classmethod
     def create(cls, means, log_scales, quats, opacities, f_dc,
                f_rest: Optional[np.ndarray] = None,

@@ -141,16 +141,34 @@ def splat_radius(a, b, c):
     return jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(l1, 0.0)))
 
 
-def splat_extent(a, c):
-    """Exact per-axis half-extents (rx, ry) of the 3-sigma ellipse, ceil'd.
+def splat_extent(a, c, opacity=None, alpha_min: float = 1.0 / 255.0,
+                 max_sigma: float = 3.0):
+    """Exact per-axis half-extents (rx, ry) of the splat's footprint,
+    ceil'd.
 
-    The axis-aligned bounding box of {d : d^T Sigma^-1 d <= 9} has half
-    extents exactly 3*sqrt(Sigma_xx), 3*sqrt(Sigma_yy) — strictly tighter
-    than the circumscribed 3*sqrt(lambda_max) square (reference
+    The axis-aligned bounding box of {d : d^T Sigma^-1 d <= q} has half
+    extents exactly sqrt(q*Sigma_xx), sqrt(q*Sigma_yy) — strictly tighter
+    than the circumscribed sqrt(q*lambda_max) square (reference
     GetBoundingBox) for anisotropic splats: fewer (gaussian, tile) pairs
-    enumerated for identical 3-sigma coverage, which scales the whole
-    binning + rasterize pipeline down proportionally.
+    enumerated for identical coverage, which scales the whole binning +
+    rasterize pipeline down proportionally.
+
+    With `opacity`, q is ALPHA-AWARE: every compositing path skips pixels
+    with alpha = opacity*exp(-q/2) < alpha_min, so the footprint only
+    needs q = 2*ln(opacity/alpha_min) — beyond it the pixel is skipped
+    anyway. Dim splats get much smaller boxes (free pair reduction, the
+    image is bitwise unchanged); `max_sigma > 0` caps q at max_sigma^2
+    (the classic 3-sigma bound), while max_sigma=0 leaves it uncapped,
+    making the tiled pipeline pixel-exact vs the dense oracle even for
+    near-opaque splats (whose alpha_min radius is ~3.33 sigma).
     """
-    rx = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(a, 0.0)))
-    ry = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(c, 0.0)))
+    if opacity is None:
+        q = max_sigma * max_sigma
+    else:
+        q = 2.0 * jnp.log(jnp.maximum(opacity, 1e-12) / alpha_min)
+        if max_sigma > 0.0:
+            q = jnp.minimum(q, max_sigma * max_sigma)
+        q = jnp.maximum(q, 0.0)
+    rx = jnp.ceil(jnp.sqrt(q * jnp.maximum(a, 0.0)))
+    ry = jnp.ceil(jnp.sqrt(q * jnp.maximum(c, 0.0)))
     return rx, ry

@@ -58,11 +58,23 @@ def project_gaussians(model: GaussianModel, camera: Camera,
     a, b, c = covariance.ewa_project(t_view, cov3d, camera.view, fx, fy,
                                      tan_fovx, tan_fovy, cfg.lowpass)
     ca, cb, cc, conic_valid = covariance.conic(a, b, c)
-    rx, ry = covariance.splat_extent(a, c)
+
+    opacity = model.opacities.astype(jnp.float32)
+    if cfg.sigmoid_opacity:
+        opacity = jax.nn.sigmoid(opacity)
+    # Alpha-aware footprint: the box only covers pixels whose alpha can
+    # clear alpha_min (extents gradient-free — ceil kills the tangent, so
+    # this adds no backward cost). lax.stop_gradient keeps the forward
+    # graph honest about it.
+    rx, ry = covariance.splat_extent(
+        a, c, jax.lax.stop_gradient(opacity), cfg.alpha_min,
+        cfg.extent_sigma)
 
     # Colour: SH evaluated along the view direction (degree 0 reduces to the
     # reference's SH_C0*f_dc+0.5, src/main/splat.cpp:136-148).
     degree = model.sh_degree
+    if cfg.active_sh_degree >= 0:
+        degree = min(degree, cfg.active_sh_degree)
     if degree == 0:
         color = sh.dc_to_rgb(model.sh[:, 0])
     else:
@@ -77,10 +89,6 @@ def project_gaussians(model: GaussianModel, camera: Camera,
                       preferred_element_type=jnp.float32)
         dirs = jnp.dot(dirs, rot.T, preferred_element_type=jnp.float32)
         color = sh.eval_sh(model.sh, dirs, degree)
-
-    opacity = model.opacities.astype(jnp.float32)
-    if cfg.sigmoid_opacity:
-        opacity = jax.nn.sigmoid(opacity)
 
     # Frustum cull: in front of the near plane and on screen (with radius
     # guard band). The reference culls with clipSpace.z < 0

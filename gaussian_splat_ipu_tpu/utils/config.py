@@ -88,6 +88,17 @@ class RasterConfig:
     # fused_sort_key machinery; falls back to it when the tile-bit budget
     # doesn't fit.
     presort_depth: bool = False
+    # Splat footprint bound in sigmas. Extents are alpha-aware (the box
+    # stops where alpha drops below alpha_min — dim splats enumerate far
+    # fewer tiles at identical output) and this caps them at the classic
+    # 3-sigma square. 0.0 = uncapped: footprints reach the full alpha_min
+    # radius (~3.33 sigma for opaque splats) and the tiled pipeline is
+    # then pixel-exact vs the dense oracle at ~10% more pairs.
+    extent_sigma: float = 3.0
+    # Cap the SH band actually evaluated (-1 = the model's full degree).
+    # Training schedules raise this progressively (standard 3DGS: one band
+    # per 1000 iterations) — it is static, so each bump recompiles once.
+    active_sh_degree: int = -1
 
     @property
     def tiles_x(self) -> int:

@@ -110,3 +110,36 @@ def test_jit_and_grad_through_pipeline():
     assert float(jnp.abs(grads.means).sum()) > 0.0
     assert float(jnp.abs(grads.opacities).sum()) > 0.0
     assert float(jnp.abs(grads.sh).sum()) > 0.0
+
+
+def test_alpha_aware_extents_exact_mode_matches_oracle():
+    # extent_sigma=0: footprints reach the full alpha_min radius, so the
+    # tiled pipeline reproduces the dense oracle to fp noise even for
+    # near-opaque splats (whose alpha_min radius is ~3.33 sigma > 3).
+    cfg = RasterConfig(image_width=128, image_height=96, chunk_size=32,
+                       pair_capacity=1 << 14, extent_sigma=0.0)
+    model = random_scene(300, seed=5)
+    cam = camera(128, 96)
+    ref = np.asarray(render_oracle(model, cam, cfg))
+    out = render(model, cam, cfg, use_pallas=False)
+    assert int(out.overflow) == 0
+    np.testing.assert_allclose(np.asarray(out.image), ref,
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_alpha_aware_extents_shrink_dim_splats():
+    from gaussian_splat_ipu_tpu.ops import covariance
+
+    a = jnp.full((4,), 25.0)   # sigma_x = 5 px
+    c = jnp.full((4,), 25.0)
+    op = jnp.array([1.0, 0.35, 0.01, 1.0 / 255.0])
+    rx, _ = covariance.splat_extent(a, c, op, max_sigma=3.0)
+    # opaque: capped at 3 sigma = 15 px; mid: just under the cap;
+    # dim (0.01): sqrt(2 ln(2.55)) ~ 1.37 sigma ~ 7 px; at alpha_min: 0.
+    assert float(rx[0]) == 15.0
+    assert 14.0 <= float(rx[1]) <= 15.0
+    assert float(rx[2]) <= 7.0
+    assert float(rx[3]) == 0.0
+    # uncapped: opaque reaches ~3.33 sigma
+    rx0, _ = covariance.splat_extent(a, c, op, max_sigma=0.0)
+    assert 16.0 <= float(rx0[0]) <= 17.0
