@@ -21,6 +21,7 @@ jitted fwd+bwd+Adam program.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import logging
 import time
 
@@ -38,6 +39,10 @@ def parse_args(argv=None):
                         "of distilling a loaded scene")
     p.add_argument("--downscale", type=int, default=1,
                    help="--dataset: image downscale factor")
+    p.add_argument("--holdout-every", type=int, default=0,
+                   help="--dataset: hold every K-th view out of training "
+                        "and report eval PSNR on the holdout at the end "
+                        "(0 = train on all views)")
     p.add_argument("--log-level", default="info")
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--height", type=int, default=360)
@@ -49,6 +54,13 @@ def parse_args(argv=None):
     p.add_argument("--mode", choices=["distill", "self"],
                    default="distill")
     p.add_argument("--ssim-weight", type=float, default=0.2)
+    p.add_argument("--sh-degree", type=int, default=-1,
+                   help="SH capacity for random-init models (-1 = keep "
+                        "the source degree; new bands start at zero)")
+    p.add_argument("--sh-step-every", type=int, default=0,
+                   help="progressive SH schedule: activate one more band "
+                        "every N steps (3DGS uses 1000; 0 = all bands "
+                        "from the start). Each bump recompiles once.")
     p.add_argument("--pair-capacity", type=int, default=1 << 18)
     p.add_argument("--checkpoint", default="",
                    help="write final params + opt state here (.npz)")
@@ -82,6 +94,7 @@ def main(argv=None) -> int:
     from gaussian_splat_ipu_tpu.io.scene import load_scene
     from gaussian_splat_ipu_tpu.models.camera import Camera
     from gaussian_splat_ipu_tpu.models.gaussians import GaussianModel
+    from gaussian_splat_ipu_tpu.parallel import multihost
     from gaussian_splat_ipu_tpu.render.pipeline import render_image
     from gaussian_splat_ipu_tpu.train import checkpoint, losses, trainer
     from gaussian_splat_ipu_tpu.utils.config import RasterConfig
@@ -89,7 +102,20 @@ def main(argv=None) -> int:
     if not args.input and not args.dataset:
         raise SystemExit("one of --input / --dataset is required")
 
+    # Multi-process bootstrap (GSPLAT_COORDINATOR env; no-op without it):
+    # after this, jax.devices() spans every host and the same code below
+    # runs as one SPMD program per the multi-controller contract.
+    multihost.initialize()
+    multiproc = jax.process_count() > 1
+    mesh = None
+    if multiproc and args.distributed:
+        from gaussian_splat_ipu_tpu.parallel import mesh as meshlib
+        mesh = meshlib.make_mesh()
+        log.info("multi-process run: %d processes, %d global devices",
+                 jax.process_count(), len(jax.devices()))
+
     render_jit = jax.jit(render_image, static_argnums=(2, 3))
+    holdout_cams, holdout_targets = [], []
     if args.dataset:
         # Real posed images: cameras + targets come from the dataset, the
         # model starts from random init inside the camera bounding sphere
@@ -97,8 +123,20 @@ def main(argv=None) -> int:
         from gaussian_splat_ipu_tpu.io import dataset as dataset_lib
         fs = dataset_lib.load_transforms(args.dataset,
                                          downscale=args.downscale)
-        cameras = fs.cameras
-        targets = [jnp.asarray(im) for im in fs.images]
+        holdout_cams, holdout_targets = [], []
+        if args.holdout_every > 0:
+            from gaussian_splat_ipu_tpu.app import eval as eval_app
+            hold = eval_app.select_split(len(fs), "holdout",
+                                         args.holdout_every)
+            train_idx = [i for i in range(len(fs)) if i not in set(hold)]
+            holdout_cams = [fs.cameras[i] for i in hold]
+            holdout_targets = [np.asarray(fs.images[i]) for i in hold]
+            log.info("holdout: %d eval views (every %d), %d train views",
+                     len(hold), args.holdout_every, len(train_idx))
+        else:
+            train_idx = list(range(len(fs)))
+        cameras = [fs.cameras[i] for i in train_idx]
+        targets = [jnp.asarray(fs.images[i]) for i in train_idx]
         args.views = len(cameras)
         args.width, args.height = fs.width, fs.height
         cfg = RasterConfig(image_width=fs.width, image_height=fs.height,
@@ -113,7 +151,13 @@ def main(argv=None) -> int:
         log.info("dataset %s: %d views at %dx%d, camera extent %.2f",
                  args.dataset, len(cameras), fs.width, fs.height, extent)
     else:
-        scene = load_scene(args.input)
+        if mesh is not None:
+            # Each process parses ONLY its slice of the scene file and the
+            # model assembles directly as one globally-sharded jax.Array
+            # (north-star config 5 loading story).
+            scene = multihost.load_scene_sharded(args.input, mesh)
+        else:
+            scene = load_scene(args.input)
         cfg = RasterConfig(image_width=args.width,
                            image_height=args.height,
                            pair_capacity=args.pair_capacity)
@@ -137,11 +181,29 @@ def main(argv=None) -> int:
         else:
             model = scene.model
 
+    if args.sh_degree >= 0 and args.sh_degree != model.sh_degree:
+        if mesh is not None and args.input:
+            log.warning("--sh-degree ignored: scene was loaded sharded")
+        else:
+            model = model.with_sh_degree(args.sh_degree)
+            log.info("SH degree -> %d (%d bands)", args.sh_degree,
+                     model.sh.shape[1])
+    # Progressive SH: start at band 0 and raise by one every
+    # --sh-step-every steps (static config -> one recompile per bump).
+    full_sh_degree = model.sh_degree
+    active_sh = 0 if args.sh_step_every > 0 else -1
+
     tc = trainer.TrainConfig(ssim_weight=args.ssim_weight,
                              scene_extent=extent)
     use_dist = args.distributed and len(jax.devices()) > 1
     dstate = None
-    mesh = None
+
+    def ensure_sharded(m, mesh_):
+        from gaussian_splat_ipu_tpu.parallel import mesh as meshlib
+        already = all(
+            isinstance(x, jax.Array) and len(x.sharding.device_set) > 1
+            for x in jax.tree.leaves(m))
+        return m if already else meshlib.shard_model(m, mesh_)
     if args.densify:
         from gaussian_splat_ipu_tpu.train import densify as densify_lib
         n0 = model.num_gaussians
@@ -165,16 +227,16 @@ def main(argv=None) -> int:
         dstate = densify_lib.init_state(n0, capacity)
         state = trainer.init_state(densify_lib.pad_model(model, capacity),
                                    tc)
-        step = None
         if use_dist:
             # Slot-buffer density control on the sharded trainer: the
             # probe grads land shard-local, surgery runs on sharded state
             # under jit (tests/test_densify_distributed.py).
             from gaussian_splat_ipu_tpu.parallel import (distributed,
                                                          mesh as meshlib)
-            mesh = meshlib.make_mesh()
+            if mesh is None:
+                mesh = meshlib.make_mesh()
             state = trainer.TrainState(
-                params=meshlib.shard_model(state.params, mesh),
+                params=ensure_sharded(state.params, mesh),
                 opt_state=state.opt_state, step=state.step)
             if args.auto_grow:
                 log.warning("--auto-grow is single-device only; growth "
@@ -187,16 +249,13 @@ def main(argv=None) -> int:
     elif use_dist:
         from gaussian_splat_ipu_tpu.parallel import (distributed,
                                                      mesh as meshlib)
-        mesh = meshlib.make_mesh()
-        model = meshlib.shard_model(model, mesh)
+        if mesh is None:
+            mesh = meshlib.make_mesh()
+        model = ensure_sharded(model, mesh)
         state = trainer.init_state(model, tc)
-        step = distributed.make_sharded_train_step(
-            mesh, cfg, tc, pair_capacity=args.pair_capacity)
         log.info("distributed over %d devices", len(jax.devices()))
     else:
         state = trainer.init_state(model, tc)
-        step = jax.jit(lambda s, c, t: trainer.train_step(
-            s, c, t, cfg, tc, True), donate_argnums=(0,))
 
     # Chain whole view-epochs into one device program (lax.scan over the
     # stacked view set): per-dispatch tunnel latency (~40 ms on remote
@@ -206,36 +265,61 @@ def main(argv=None) -> int:
     cam_treedef = jax.tree_util.tree_structure(cameras[0])
     cam_leaves_stacked = jax.tree_util.tree_leaves(cams_stacked)
 
-    if args.densify:
-        if use_dist:
-            raw_step = distributed.make_sharded_densify_train_step(
-                mesh, cfg, tc, use_pallas=True, jit=False)
-        else:
-            raw_step = densify_lib.make_train_step(cfg, tc, True,
-                                                   jit=False)
+    def build_programs(acfg):
+        """Jitted epoch/step programs for one active-SH config. Rebuilt
+        (one recompile each) whenever the progressive schedule bumps."""
+        progs = {}
+        if args.densify:
+            if use_dist:
+                raw_step = distributed.make_sharded_densify_train_step(
+                    mesh, acfg, tc, use_pallas=True, jit=False)
+            else:
+                raw_step = densify_lib.make_train_step(acfg, tc, True,
+                                                       jit=False)
 
-        @jax.jit
-        def epoch_densify(state, dstate):
-            def body(carry, ct):
-                s, ds = carry
-                cam_leaves, tgt = ct
-                cam = jax.tree_util.tree_unflatten(cam_treedef, cam_leaves)
-                s, ds, loss = raw_step(s, ds, cam, tgt)
-                return (s, ds), loss
-            (s, ds), ls = jax.lax.scan(
-                body, (state, dstate),
-                (cam_leaves_stacked, targets_stacked))
-            return s, ds, ls
-    elif not use_dist:
-        @jax.jit
-        def epoch(state):
-            def body(s, ct):
-                cam_leaves, tgt = ct
-                cam = jax.tree_util.tree_unflatten(cam_treedef, cam_leaves)
-                return trainer.train_step(s, cam, tgt, cfg, tc, True)
-            return jax.lax.scan(
-                body, state,
-                (cam_leaves_stacked, targets_stacked))
+            @jax.jit
+            def epoch_densify(state, dstate):
+                def body(carry, ct):
+                    s, ds = carry
+                    cam_leaves, tgt = ct
+                    cam = jax.tree_util.tree_unflatten(cam_treedef,
+                                                       cam_leaves)
+                    s, ds, loss = raw_step(s, ds, cam, tgt)
+                    return (s, ds), loss
+                (s, ds), ls = jax.lax.scan(
+                    body, (state, dstate),
+                    (cam_leaves_stacked, targets_stacked))
+                return s, ds, ls
+
+            progs["epoch_densify"] = epoch_densify
+        elif use_dist:
+            progs["step"] = distributed.make_sharded_train_step(
+                mesh, acfg, tc, pair_capacity=args.pair_capacity)
+        else:
+            progs["step"] = jax.jit(
+                lambda s, c, t: trainer.train_step(s, c, t, acfg, tc,
+                                                   True),
+                donate_argnums=(0,))
+
+            @jax.jit
+            def epoch(state):
+                def body(s, ct):
+                    cam_leaves, tgt = ct
+                    cam = jax.tree_util.tree_unflatten(cam_treedef,
+                                                       cam_leaves)
+                    return trainer.train_step(s, cam, tgt, acfg, tc, True)
+                return jax.lax.scan(
+                    body, state,
+                    (cam_leaves_stacked, targets_stacked))
+
+            progs["epoch"] = epoch
+        return progs
+
+    def active_cfg():
+        return (cfg if active_sh < 0 else
+                dataclasses.replace(cfg, active_sh_degree=active_sh))
+
+    progs = build_programs(active_cfg())
 
     if args.densify:
         if use_dist:
@@ -273,8 +357,15 @@ def main(argv=None) -> int:
     i = 0
     densify_open = True
     while i < args.steps:
+        if (args.sh_step_every > 0 and active_sh < full_sh_degree
+                and i // args.sh_step_every > active_sh):
+            active_sh = min(full_sh_degree, i // args.sh_step_every)
+            progs = build_programs(active_cfg())
+            log.info("SH schedule: active degree -> %d at step %d",
+                     active_sh, i)
         if args.densify:
-            state, dstate, losses_ep = epoch_densify(state, dstate)
+            state, dstate, losses_ep = progs["epoch_densify"](state,
+                                                              dstate)
             loss = losses_ep[-1]
             i += args.views
             c = dcfg
@@ -313,12 +404,12 @@ def main(argv=None) -> int:
                     and i <= min(args.steps - 500, c.densify_until_step)):
                 state = densify_lib.reset_opacity(state, dstate, c)
         elif not use_dist and args.steps - i >= args.views:
-            state, losses_ep = epoch(state)
+            state, losses_ep = progs["epoch"](state)
             loss = losses_ep[-1]
             i += args.views
         else:
             k = i % args.views
-            state, loss = step(state, cameras[k], targets[k])
+            state, loss = progs["step"](state, cameras[k], targets[k])
             i += 1
         if (i // args.views) % 10 == 0 or i >= args.steps:
             log.info("step %d: loss %.5f", i, float(loss))
@@ -331,24 +422,61 @@ def main(argv=None) -> int:
     final = render_jit(state.params, cameras[0], cfg, True)
     psnr = float(losses.psnr(final[..., :3], targets[0][..., :3]))
     log.info("PSNR vs target view 0: %.2f dB", psnr)
+    eval_psnr = None
+    if holdout_cams:
+        vals = []
+        for cam, tgt in zip(holdout_cams, holdout_targets):
+            pred = render_jit(state.params, cam, cfg, True)
+            vals.append(float(losses.psnr(pred[..., :3],
+                                          jnp.asarray(tgt[..., :3]))))
+        eval_psnr = float(np.mean(vals))
+        log.info("holdout eval: %.2f dB mean PSNR over %d unseen views",
+                 eval_psnr, len(vals))
     if args.densify:
         log.info("final gaussian count: %d (capacity %d)",
                  int(jnp.sum(dstate.alive)), state.params.num_gaussians)
 
+    def host_tree(tree):
+        """Materialise a (possibly multi-process-sharded) pytree on every
+        host. process_allgather is a collective: ALL processes call it,
+        only the primary writes files."""
+        if multiproc:
+            from jax.experimental import multihost_utils
+            return jax.tree.map(
+                lambda x: multihost_utils.process_allgather(x, tiled=True),
+                tree)
+        return tree
+
     if args.checkpoint:
-        checkpoint.save_checkpoint(args.checkpoint, state)
-        log.info("checkpoint -> %s", args.checkpoint)
+        state_h = trainer.TrainState(params=host_tree(state.params),
+                                     opt_state=host_tree(state.opt_state),
+                                     step=state.step)
+        if multihost.is_primary():
+            checkpoint.save_checkpoint(args.checkpoint, state_h)
+            log.info("checkpoint -> %s", args.checkpoint)
     if args.export_ply:
         params = state.params
-        if args.densify:
-            params = densify_lib.compact(params, dstate)
-        if use_dist:
-            params = jax.tree.map(np.asarray, params)
-            params = GaussianModel(*[jnp.asarray(x) for x in
-                                     jax.tree_util.tree_leaves(params)])
-        checkpoint.export_ply(args.export_ply, params)
-        log.info("scene -> %s", args.export_ply)
-    print(f"final_loss={float(loss):.6f} psnr={psnr:.2f}")
+        if multiproc and use_dist and not args.densify:
+            # Config-5 scale: no host ever gathers the full model — each
+            # process pwrites its row slice into one shared PLY.
+            multihost.export_ply_sharded(args.export_ply, params)
+            if multihost.is_primary():
+                log.info("scene -> %s (sharded write)", args.export_ply)
+        else:
+            if use_dist:
+                # Gather BEFORE compact: compact's output shape is
+                # data-dependent (host-side op, not SPMD-able).
+                params = host_tree(params)
+                params = GaussianModel(*[jnp.asarray(np.asarray(x)) for x
+                                         in jax.tree_util.tree_leaves(
+                                             params)])
+            if args.densify:
+                params = densify_lib.compact(params, dstate)
+            if multihost.is_primary():
+                checkpoint.export_ply(args.export_ply, params)
+                log.info("scene -> %s", args.export_ply)
+    tail = f" eval_psnr={eval_psnr:.2f}" if eval_psnr is not None else ""
+    print(f"final_loss={float(loss):.6f} psnr={psnr:.2f}{tail}")
     return 0
 
 

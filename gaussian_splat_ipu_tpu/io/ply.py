@@ -241,21 +241,33 @@ def read_ply(path: str, vertex_range: Optional[Tuple[int, int]] = None
     return PlyData({el.name: el for el in elements}, fmt)
 
 
-def write_ply(path: str, columns: Dict[str, np.ndarray],
-              element: str = "vertex") -> None:
-    """Write float32 columns as a binary_little_endian PLY (checkpoints)."""
-    names = list(columns)
-    count = len(next(iter(columns.values())))
+def ply_header(names, count: int, element: str = "vertex") -> bytes:
+    """binary_little_endian header for float32 columns — a pure function
+    of (names, count) so every process of a sharded export can compute
+    the identical byte offset without communicating."""
     header = ["ply", "format binary_little_endian 1.0",
               f"element {element} {count}"]
     header += [f"property float {n}" for n in names]
     header.append("end_header\n")
-    dt = np.dtype([(n, "<f4") for n in names])
-    rec = np.empty(count, dt)
+    return "\n".join(header).encode("ascii")
+
+
+def pack_records(columns: Dict[str, np.ndarray]) -> np.ndarray:
+    """Interleave float32 columns into the PLY record array."""
+    names = list(columns)
+    count = len(next(iter(columns.values())))
+    rec = np.empty(count, np.dtype([(n, "<f4") for n in names]))
     for n in names:
         rec[n] = np.asarray(columns[n], np.float32)
+    return rec
+
+
+def write_ply(path: str, columns: Dict[str, np.ndarray],
+              element: str = "vertex") -> None:
+    """Write float32 columns as a binary_little_endian PLY (checkpoints)."""
+    rec = pack_records(columns)
     with open(path, "wb") as f:
-        f.write("\n".join(header).encode("ascii"))
+        f.write(ply_header(list(columns), len(rec), element))
         f.write(rec.tobytes())
 
 

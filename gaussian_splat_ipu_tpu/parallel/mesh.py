@@ -63,10 +63,28 @@ def shard_model(model, mesh: Mesh, axis: str = SHARD_AXIS):
 
     Pads N up to a multiple of the mesh size (padding gaussians have
     opacity -inf and render as nothing — models/gaussians.py pad_to).
+
+    Works in multi-process runs too: when the mesh spans devices this
+    process cannot address (jax.distributed), each process feeds only its
+    local shards via make_array_from_callback — every process must hold
+    the same host-replicated model (same file / same PRNG seed), the
+    usual multi-controller SPMD contract.
     """
     d = mesh.shape[axis]
     n = model.num_gaussians
     n_pad = -(-n // d) * d
     if n_pad != n:
         model = model.pad_to(n_pad)
-    return jax.device_put(model, gaussian_sharding(mesh, axis))
+    sharding = gaussian_sharding(mesh, axis)
+    local = {dev.id for dev in jax.local_devices()}
+    if all(dev.id in local for dev in mesh.devices.flat):
+        return jax.device_put(model, sharding)
+
+    def to_global(x):
+        host = np.asarray(x)
+        spec = P(*([axis] + [None] * (x.ndim - 1)))
+        return jax.make_array_from_callback(
+            host.shape, NamedSharding(mesh, spec),
+            lambda idx: host[idx])
+
+    return jax.tree.map(to_global, model)

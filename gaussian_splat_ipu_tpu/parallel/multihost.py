@@ -157,3 +157,65 @@ def load_scene_sharded(path: str, mesh, axis: str = "shard",
     scene.bb_min = all_post[:, 0].min(0)
     scene.bb_max = all_post[:, 1].max(0)
     return scene
+
+
+def export_ply_sharded(path: str, model) -> None:
+    """Write a globally-sharded GaussianModel as ONE standard 3DGS PLY,
+    each process writing only its own row slice.
+
+    The symmetric operation to load_scene_sharded: at config-5 scale
+    (10M+ gaussians) the trained model never fits a single host, so the
+    primary-gather export (app/train.py host_tree) is replaced by
+    positional writes — the header is a pure function of (columns, N), so
+    every process computes the same byte offsets and pwrites its rows at
+    header_len + lo * record_size. Requires `path` on a filesystem all
+    processes share (NFS/GCS-fuse pod setups); single-process it
+    degenerates to a plain export. Padding rows (opacity -30, from
+    shard_model's round-up) are exported as-is: they are invisible by
+    construction and reference loaders render them as nothing.
+
+    Reference: extends /root/reference/src/splat/file_io.cpp (single-host
+    loader, no writer existed) per the north-star scaling story.
+    """
+    import numpy as np
+
+    from gaussian_splat_ipu_tpu.io import ply as ply_io
+    from gaussian_splat_ipu_tpu.train import checkpoint
+
+    def local_rows(x):
+        if not isinstance(x, jax.Array) or not hasattr(x, "sharding"):
+            return 0, np.asarray(x)
+        shards = sorted(x.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        lo = shards[0].index[0].start or 0
+        data = np.concatenate([np.asarray(s.data) for s in shards], 0)
+        # The gaussian axis must be contiguous per process (the mesh
+        # construction orders devices process-major, parallel/mesh.py).
+        hi = shards[-1].index[0].stop
+        hi = data.shape[0] + lo if hi is None else hi
+        assert hi - lo == data.shape[0], (
+            "process's row shards are not contiguous; cannot pwrite")
+        return lo, data
+
+    n_total = jax.tree_util.tree_leaves(model)[0].shape[0]
+    lo = local_rows(model.means)[0]
+    local = jax.tree.map(lambda x: local_rows(x)[1], model)
+    rec = ply_io.pack_records(checkpoint.gaussian_columns(local))
+    header = ply_io.ply_header([n for n, _ in rec.dtype.fields.items()],
+                               n_total)
+
+    if jax.process_count() == 1:
+        with open(path, "wb") as f:
+            f.write(header)
+            f.write(rec.tobytes())
+        return
+
+    from jax.experimental import multihost_utils
+    if is_primary():
+        with open(path, "wb") as f:
+            f.write(header)
+    multihost_utils.sync_global_devices("gsplat:export_ply_sharded:hdr")
+    with open(path, "r+b") as f:
+        f.seek(len(header) + lo * rec.itemsize)
+        f.write(rec.tobytes())
+    multihost_utils.sync_global_devices("gsplat:export_ply_sharded:done")

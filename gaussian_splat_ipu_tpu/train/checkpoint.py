@@ -56,8 +56,10 @@ def restore_checkpoint(path: str, template):
     return jax.tree_util.tree_unflatten(treedef, restored)
 
 
-def export_ply(path: str, model: GaussianModel) -> None:
-    """Write gaussian params as a standard 3DGS PLY (reference-loadable)."""
+def gaussian_columns(model: GaussianModel):
+    """The standard 3DGS PLY column set, in canonical property order —
+    shared by the single-file exporter below and the per-process sharded
+    exporter (parallel/multihost.py::export_ply_sharded)."""
     sh = np.asarray(model.sh)
     n, k, _ = sh.shape
     cols = {
@@ -77,7 +79,12 @@ def export_ply(path: str, model: GaussianModel) -> None:
         cols[f"scale_{j}"] = np.asarray(model.log_scales[:, j])
     for j in range(4):
         cols[f"rot_{j}"] = np.asarray(model.quats[:, j])
-    ply_io.write_ply(path, cols)
+    return cols
+
+
+def export_ply(path: str, model: GaussianModel) -> None:
+    """Write gaussian params as a standard 3DGS PLY (reference-loadable)."""
+    ply_io.write_ply(path, gaussian_columns(model))
 
 
 def import_ply(path: str) -> GaussianModel:

@@ -1,5 +1,7 @@
 """End-to-end training CLI test (BASELINE config 4 in miniature)."""
 
+import os
+
 import numpy as np
 
 from gaussian_splat_ipu_tpu.io import ply as ply_io
@@ -177,3 +179,39 @@ def test_train_cli_densify_auto_grow(tmp_path, capsys):
     assert rc == 0
     line = capsys.readouterr().out.strip().splitlines()[-1]
     assert np.isfinite(float(line.split()[0].split("=")[1]))
+
+
+def test_train_cli_dataset_holdout_eval(tmp_path, capsys):
+    import json
+
+    from PIL import Image
+
+    from gaussian_splat_ipu_tpu.app import train as train_app
+
+    root = str(tmp_path / "ds")
+    os.makedirs(root)
+    rng = np.random.default_rng(0)
+    frames = []
+    for i in range(4):
+        arr = rng.uniform(0, 255, (32, 32, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(root, f"r_{i}.png"))
+        c2w = np.eye(4)
+        c2w[2, 3] = 3.0
+        c2w[0, 3] = 0.2 * i
+        frames.append({"file_path": f"r_{i}",
+                       "transform_matrix": c2w.tolist()})
+    with open(os.path.join(root, "transforms_train.json"), "w") as f:
+        json.dump({"camera_angle_x": float(np.radians(50.0)),
+                   "frames": frames}, f)
+
+    rc = train_app.main([
+        "--dataset", root, "--steps", "3", "--mode", "distill",
+        "--init-gaussians", "32", "--ssim-weight", "0.0",
+        "--holdout-every", "2", "--pair-capacity", str(1 << 10),
+        "--log-level", "off",
+    ])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    # views 0,2 held out -> trained on 2, eval_psnr present and finite
+    assert "eval_psnr=" in line
+    assert np.isfinite(float(line.split("eval_psnr=")[1]))
