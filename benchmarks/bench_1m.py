@@ -1,0 +1,117 @@
+"""1M-gaussian frame benchmark across binning sort strategies.
+
+The round-2 perf frontier (VERDICT r1 next-step #2): the 84.8 ms frame at
+1M gaussians/720p is dominated by the P-wide radix sort over the pair
+table. This measures the END-TO-END frame for each strategy (the
+microbenchmark benchmarks/bench_sort.py isolates the sort itself):
+
+  fused       one (tile | quantized-depth) i32 key, carried columns
+  presort     depth-presort the N gaussians, tile-only pair key
+  exact2pass  two stable single-key passes (exact full-depth order)
+
+plus the effect of right-sizing pair_capacity to the probed demand
+(every binning pass is O(capacity)).
+
+Run on the real chip: python benchmarks/bench_1m.py [n_gaussians]
+Two-point chained-scan timing (utils/profiling.py rationale).
+"""
+
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+WIDTH, HEIGHT = 1280, 720
+
+
+def two_point(frame_fn, cam_of_k, k1=1, k2=6, reps=3):
+    import jax
+    import jax.numpy as jnp
+
+    def chain(k):
+        @jax.jit
+        def run(model):
+            def body(c, i):
+                img = frame_fn(model, cam_of_k(i))
+                return c + img[::97, ::97].sum(), None
+            c, _ = jax.lax.scan(body, jnp.float32(0.0),
+                                jnp.arange(k, dtype=jnp.float32))
+            return c
+        return run
+
+    j1, j2 = chain(k1), chain(k2)
+    return j1, j2, k1, k2, reps
+
+
+def measure(model, j1, j2, k1, k2, reps):
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(j1(model))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(j2(model))
+        t2 = time.perf_counter() - t0
+        best = min(best, (t2 - t1) / (k2 - k1))
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/gsplat_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from gaussian_splat_ipu_tpu.models.camera import Camera
+    from gaussian_splat_ipu_tpu.models.gaussians import GaussianModel
+    from gaussian_splat_ipu_tpu.render.pipeline import render
+    from gaussian_splat_ipu_tpu.utils.config import RasterConfig
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 20
+    cap_log2 = int(sys.argv[2]) if len(sys.argv) > 2 else 22
+    print("devices:", jax.devices(), flush=True)
+    model = GaussianModel.random(jax.random.PRNGKey(0), n, extent=1.0)
+    bb = np.array([1.0, 1.0, 1.0], np.float32)
+    fov = float(np.radians(40.0))
+
+    def cam_of_k(i):
+        return Camera.orbit(-bb, bb, fov, WIDTH / HEIGHT,
+                            rot_y_deg=i * 11.25)
+
+    base = RasterConfig(image_width=WIDTH, image_height=HEIGHT,
+                        pair_capacity=1 << cap_log2)
+
+    # Demand probe once (alpha-aware extents may have moved it).
+    out = jax.jit(lambda m: render(m, cam_of_k(jnp.float32(0.0)), base,
+                                   True).num_pairs)(model)
+    demand = int(out)
+    tight = 1 << max(int(np.ceil(np.log2(max(demand * 1.3, 1024)))), 12)
+    print(f"pair demand {demand} -> tight capacity {tight}", flush=True)
+
+    variants = {
+        "fused_full": base,
+        "fused_tight": dataclasses.replace(base, pair_capacity=tight),
+        "presort_tight": dataclasses.replace(base, pair_capacity=tight,
+                                             presort_depth=True),
+        "exact2pass_tight": dataclasses.replace(base, pair_capacity=tight,
+                                                fused_sort_key=False),
+    }
+    results = {}
+    for name, cfg in variants.items():
+        def frame(m, cam, cfg=cfg):
+            return render(m, cam, cfg, True).image
+        j1, j2, k1, k2, reps = two_point(frame, cam_of_k)
+        float(j1(model)), float(j2(model))  # compile + warm
+        dt = measure(model, j1, j2, k1, k2, reps)
+        results[name] = round(1e3 * dt, 2)
+        print(f"{name}: {1e3 * dt:.2f} ms/frame", flush=True)
+
+    print(json.dumps({"n_gaussians": n, "demand": demand,
+                      "ms_per_frame": results}))
+
+
+if __name__ == "__main__":
+    main()

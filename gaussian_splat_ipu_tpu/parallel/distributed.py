@@ -235,6 +235,28 @@ def render_sharded(model: GaussianModel, camera: Camera, cfg: RasterConfig,
         xy_probe = jnp.zeros((model.num_gaussians, 2), jnp.float32)
     cap = _exchange_capacity(-(-model.num_gaussians // d), d,
                              exchange_capacity)
+    program = _render_sharded_program(cfg, mesh, axis, use_pallas,
+                                      pair_capacity, exchange, cap)
+    (image, counts, overflow, num_pairs, visible, truncated,
+     exchange_overflow) = program(model, camera, xy_probe)
+    return ShardedRenderOutput(image=image, tile_counts=counts,
+                               overflow=overflow, num_pairs=num_pairs,
+                               visible=visible, truncated=truncated,
+                               exchange_overflow=exchange_overflow)
+
+
+@functools.lru_cache(maxsize=None)
+def _render_sharded_program(cfg, mesh, axis, use_pallas, pair_capacity,
+                            exchange, cap):
+    """Build (once per static config) the jitted shard_map render program.
+
+    render_sharded is called eagerly all over the test suite and the
+    interactive/train apps; without this cache every call constructed a
+    fresh closure and re-traced + re-lowered the full program (~40 s on
+    the CPU mesh). Mesh and RasterConfig are hashable by value, so equal
+    configs share one compiled program per process."""
+    d = mesh.shape[axis]
+    rows = _rows_per_device(cfg, d)
 
     def shard_fn(model_shard, camera_rep, probe_shard):
         sp_local = project_gaussians(model_shard, camera_rep, cfg,
@@ -270,19 +292,22 @@ def render_sharded(model: GaussianModel, camera: Camera, cfg: RasterConfig,
                 sp_local.radius[:, 0] > 0.0, truncated,
                 jax.lax.psum(xovf, axis))
 
-    (tiles, counts, overflow, num_pairs, visible, truncated,
-     exchange_overflow) = shard_map(
+    mapped = shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(axis), P(), P(axis)),
         out_specs=(P(axis), P(axis), P(), P(), P(axis), P(), P()),
         check_vma=False,  # custom_vjp inside defeats the varying-axis check
-    )(model, camera, xy_probe)
+    )
 
-    image = _untile_rows(tiles, cfg, rows * d)
-    return ShardedRenderOutput(image=image, tile_counts=counts,
-                               overflow=overflow, num_pairs=num_pairs,
-                               visible=visible, truncated=truncated,
-                               exchange_overflow=exchange_overflow)
+    @jax.jit
+    def run(model, camera, xy_probe):
+        (tiles, counts, overflow, num_pairs, visible, truncated,
+         exchange_overflow) = mapped(model, camera, xy_probe)
+        image = _untile_rows(tiles, cfg, rows * d)
+        return (image, counts, overflow, num_pairs, visible, truncated,
+                exchange_overflow)
+
+    return run
 
 
 def render_image_sharded(model, camera, cfg: RasterConfig, mesh,
@@ -326,6 +351,21 @@ def render_views_sharded(model: GaussianModel, cameras: Camera,
                              exchange_capacity)
     cam_treedef = jax.tree_util.tree_structure(
         jax.tree.map(lambda x: x[0], cameras))
+    program = _render_views_program(cfg, mesh, view_axis, shard_axis,
+                                    use_pallas, pair_capacity, exchange,
+                                    cap, cam_treedef)
+    return program(model, tuple(jax.tree_util.tree_leaves(cameras)))
+
+
+@functools.lru_cache(maxsize=None)
+def _render_views_program(cfg, mesh, view_axis, shard_axis, use_pallas,
+                          pair_capacity, exchange, cap, cam_treedef):
+    """Memoized jitted view-batch program (same rationale as
+    _render_sharded_program: an eagerly-invoked shard_map closure would
+    re-lower per call)."""
+    d = mesh.shape[shard_axis]
+    rows = _rows_per_device(cfg, d)
+    nloc_rows_total = rows * d
 
     def shard_fn(model_shard, cams_local_leaves):
         def one_view(cam_leaves):
@@ -356,15 +396,20 @@ def render_views_sharded(model: GaussianModel, cameras: Camera,
         # whole shard group; parallelism across views comes from the mesh.
         return jax.lax.map(one_view, cams_local_leaves)
 
-    cam_leaves = jax.tree_util.tree_leaves(cameras)
-    tiles = shard_map(
+    mapped = shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(shard_axis), P(view_axis)),
         out_specs=P(view_axis, shard_axis),
         check_vma=False,
-    )(model, cam_leaves)                  # (V, T_local*d, NPIX, 4)
+    )
 
-    return jax.vmap(lambda t: _untile_rows(t, cfg, nloc_rows_total))(tiles)
+    @jax.jit
+    def run(model, cam_leaves):
+        tiles = mapped(model, cam_leaves)  # (V, T_local*d, NPIX, 4)
+        return jax.vmap(
+            lambda t: _untile_rows(t, cfg, nloc_rows_total))(tiles)
+
+    return run
 
 
 def make_view_batch_train_step(mesh, raster_cfg: RasterConfig,

@@ -24,5 +24,11 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent XLA compile cache: the suite's cost is dominated by CPU
+# compiles of the sharded/binning programs (~40-200 s each); repeat runs
+# hit the cache and the whole suite drops from ~50 min to a few minutes.
+# Keyed by HLO + config hash, so code changes re-compile correctly.
+jax.config.update("jax_compilation_cache_dir", "/tmp/gsplat_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 assert jax.default_backend() == "cpu"
 assert len(jax.devices()) == 8
