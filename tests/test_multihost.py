@@ -60,6 +60,10 @@ def test_two_process_sharded_scene_loading(tmp_path):
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    # Children pay full XLA CPU compiles; share a persistent cache
+    # so repeat suite runs skip them.
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/gsplat_test_cache"
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "2.0"
     procs = [subprocess.Popen(
         [sys.executable, child, str(pid), "2", coord, ply_path],
         cwd=root, env=env, stdout=subprocess.PIPE,
@@ -119,6 +123,10 @@ def test_two_process_train_cli_end_to_end(tmp_path):
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    # Children pay full XLA CPU compiles; share a persistent cache
+    # so repeat suite runs skip them.
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/gsplat_test_cache"
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "2.0"
     procs = [subprocess.Popen(
         [sys.executable, child, str(pid), "2", coord, ply_path, out_ply],
         cwd=root, env=env, stdout=subprocess.PIPE,
@@ -163,6 +171,10 @@ def test_two_process_render_matches_single():
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    # Children pay full XLA CPU compiles; share a persistent cache
+    # so repeat suite runs skip them.
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/gsplat_test_cache"
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "2.0"
     procs = [subprocess.Popen(
         [sys.executable, child, str(pid), "2", coord],
         cwd=root, env=env, stdout=subprocess.PIPE,
