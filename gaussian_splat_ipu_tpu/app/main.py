@@ -46,7 +46,10 @@ def parse_args(argv=None):
     p.add_argument("--dump-frames", default="",
                    help="directory to write EVERY retired frame as "
                         "frame_%%05d.png (turntable/video export)")
-    p.add_argument("--pair-capacity", type=int, default=1 << 19)
+    p.add_argument("--pair-capacity", type=int, default=1 << 19,
+                   help="(gaussian, tile) pair-table size; every binning "
+                        "pass is O(capacity). 0 = probe worst-case demand "
+                        "over an orbit and right-size automatically")
     p.add_argument("--compile-cache", default="",
                    help="persistent XLA compile cache dir "
                         "(saveExe/loadExe parity)")
@@ -55,6 +58,45 @@ def parse_args(argv=None):
                         "keeping k frames in flight hides host->device "
                         "round-trip latency (1 = fully synchronous)")
     return p.parse_args(argv)
+
+
+def _auto_pair_capacity(scene, width: int, height: int, fov: float,
+                        use_pallas: bool, views: int = 8,
+                        probe_cap: int = 1 << 21) -> int:
+    """Probe worst-case (gaussian, tile) pair demand over an orbit and
+    right-size the table. Every binning pass is O(pair_capacity), so this
+    is the single biggest frame-time knob (BASELINE.md: halving 2^19 ->
+    2^18 took the 720p frame from 17.3 to 10.3 ms); the reference fixes
+    the analogous channel capacity in silicon (ipu_rasteriser.cpp:307).
+    Doubles the probe table until nothing overflows, then takes the next
+    power of two over 1.3x the worst view."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaussian_splat_ipu_tpu.models.camera import Camera
+    from gaussian_splat_ipu_tpu.render.pipeline import render
+    from gaussian_splat_ipu_tpu.utils.config import RasterConfig
+
+    aspect = width / height
+    while True:
+        cfg = RasterConfig(image_width=width, image_height=height,
+                           pair_capacity=probe_cap)
+
+        @jax.jit
+        def demand_of(m, rot):
+            cam = Camera.orbit(scene.bb_min, scene.bb_max, fov, aspect,
+                               rot_y_deg=rot)
+            out = render(m, cam, cfg, use_pallas)  # noqa: B023
+            return out.num_pairs + out.overflow
+
+        worst = max(int(demand_of(scene.model,
+                                  jnp.float32(360.0 * i / views)))
+                    for i in range(views))
+        if worst <= probe_cap or probe_cap >= 1 << 24:
+            break
+        probe_cap *= 4
+    cap = max(int(worst * 1.3), 4 * cfg.chunk_size)
+    return 1 << int(np.ceil(np.log2(cap)))
 
 
 def main(argv=None) -> int:
@@ -78,6 +120,14 @@ def main(argv=None) -> int:
     model = scene.model
     n = model.num_gaussians
     log.info("loaded %d gaussians from %s", n, args.input)
+
+    if args.pair_capacity == 0 and args.device != "points":
+        args.pair_capacity = _auto_pair_capacity(
+            scene, args.width, args.height, np.radians(args.fov),
+            args.device == "tpu")
+        log.info("auto pair capacity: %d", args.pair_capacity)
+    elif args.pair_capacity == 0:
+        args.pair_capacity = 1 << 12  # points path never builds pairs
 
     cfg = RasterConfig(image_width=args.width, image_height=args.height,
                        pair_capacity=args.pair_capacity)

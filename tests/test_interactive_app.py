@@ -126,3 +126,40 @@ def test_interactive_session(tmp_path):
         final = image_util.decode_png(f.read())
     assert final.shape == (64, 64, 4)
     client.close()
+
+
+def test_auto_pair_capacity_probe(tmp_path, monkeypatch):
+    # --pair-capacity 0: probe worst-case orbit demand, right-size to the
+    # next power of two over 1.3x, and run the app at that capacity.
+    import functools
+
+    import jax
+
+    from gaussian_splat_ipu_tpu.app import main as app_main
+    from gaussian_splat_ipu_tpu.io.scene import load_scene
+    from gaussian_splat_ipu_tpu.models.gaussians import GaussianModel
+    from gaussian_splat_ipu_tpu.train import checkpoint
+
+    model = GaussianModel.random(jax.random.PRNGKey(0), 128, extent=0.8)
+    ply = str(tmp_path / "scene.ply")
+    checkpoint.export_ply(ply, model)
+
+    scene = load_scene(ply)
+    cap = app_main._auto_pair_capacity(scene, 64, 48, np.radians(40.0),
+                                       use_pallas=False, views=4,
+                                       probe_cap=1 << 13)
+    assert cap & (cap - 1) == 0          # power of two
+    assert 4 * 128 <= cap <= 1 << 13     # sane range for 128 splats
+
+    # CLI wiring: --pair-capacity 0 goes through the probe (shrunk for CPU)
+    monkeypatch.setattr(
+        app_main, "_auto_pair_capacity",
+        functools.partial(app_main._auto_pair_capacity, views=2,
+                          probe_cap=1 << 13))
+    out = tmp_path / "auto.png"
+    rc = app_main.main([
+        "--input", ply, "--width", "64", "--height", "48",
+        "--pair-capacity", "0", "--device", "cpu", "--frames", "1",
+        "--output", str(out), "--log-level", "off"])
+    assert rc == 0
+    assert out.exists()
