@@ -101,6 +101,123 @@ def tile_ranges_of(splats: ProjectedSplats, cfg: RasterConfig,
     return x0, y0, nx, ny
 
 
+MASK_SPAN = 8  # tile window of the 64-bit exact-coverage mask (8x8)
+
+
+def _coverage_masks(splats: ProjectedSplats, cfg: RasterConfig,
+                    x0, y0, nx, ny):
+    """Per-gaussian EXACT tile-coverage bitmask over an 8x8 tile window.
+
+    Bit k (k = dy*8 + dx) is set iff tile (x0+dx, y0+dy) contains a pixel
+    that can clear alpha_min for this splat: the minimum over the tile's
+    pixel rectangle of the conic quadratic F(u, v) = A u^2 + 2B u v +
+    C v^2 (the kernel evaluates power = -F/2, tile_raster.chunk_alphas)
+    is <= q = 2 ln(opacity / alpha_min). For a positive-definite F whose
+    unconstrained minimum (the splat centre) lies outside the rectangle,
+    the constrained minimum lies on one of the four edges; each edge is a
+    1D quadratic minimised in closed form with clamping. Pixels sample at
+    integer coordinates (tile_raster._pixel_coords), so tile tx spans
+    u in [tx*tw - gx, tx*tw + tw - 1 - gx].
+
+    Only footprints with nx, ny <= 8 are testable (bigger ones keep their
+    whole rectangle — they are rare and the mask would not fit).
+
+    Returns (testable (N,) bool, mlo, mhi (N,) i32 mask words, ncov_exact
+    (N,) i32 popcount). Everything is gradient-free (binning geometry).
+    """
+    sg = jax.lax.stop_gradient
+    gx, gy = sg(splats.xy[:, 0]), sg(splats.xy[:, 1])
+    ca, cb, cc = (sg(splats.conic[:, 0]), sg(splats.conic[:, 1]),
+                  sg(splats.conic[:, 2]))
+    op = sg(splats.opacity)
+    q = 2.0 * jnp.log(jnp.maximum(op, 1e-12) / cfg.alpha_min)
+    # Slack: a tile whose best pixel sits exactly at alpha_min must stay
+    # (the kernel's skip is a strict <) even across fp rounding paths.
+    q = q * (1.0 + 1e-4) + 1e-4
+    tw, th = float(cfg.tile_width), float(cfg.tile_height)
+    testable = (nx <= MASK_SPAN) & (ny <= MASK_SPAN) & (nx * ny > 0)
+    ca_s = jnp.maximum(ca, 1e-12)
+    cc_s = jnp.maximum(cc, 1e-12)
+    x0f = x0.astype(jnp.float32)
+    y0f = y0.astype(jnp.float32)
+
+    def edge_u(e, v0, v1):
+        v = jnp.clip(-cb * e / cc_s, v0, v1)
+        return ca * e * e + 2.0 * cb * e * v + cc * v * v
+
+    def edge_v(f, u0, u1):
+        u = jnp.clip(-cb * f / ca_s, u0, u1)
+        return ca * u * u + 2.0 * cb * u * f + cc * f * f
+
+    def body(k, carry):
+        mlo, mhi, count = carry
+        dx = (k & 7).astype(jnp.float32)
+        dy = (k >> 3).astype(jnp.float32)
+        u0 = (x0f + dx) * tw - gx
+        u1 = u0 + (tw - 1.0)
+        v0 = (y0f + dy) * th - gy
+        v1 = v0 + (th - 1.0)
+        inside = (u0 <= 0.0) & (0.0 <= u1) & (v0 <= 0.0) & (0.0 <= v1)
+        fmin = jnp.minimum(
+            jnp.minimum(edge_u(u0, v0, v1), edge_u(u1, v0, v1)),
+            jnp.minimum(edge_v(v0, u0, u1), edge_v(v1, u0, u1)))
+        fmin = jnp.where(inside, 0.0, fmin)
+        in_rect = (dx < nx.astype(jnp.float32)) & (
+            dy < ny.astype(jnp.float32))
+        keep = testable & in_rect & (fmin <= q)
+        bit = jnp.where(keep, jnp.int32(1) << (k & 31), 0)
+        is_lo = k < 32
+        mlo = mlo | jnp.where(is_lo, bit, 0)
+        mhi = mhi | jnp.where(is_lo, 0, bit)
+        return mlo, mhi, count + keep.astype(jnp.int32)
+
+    n = gx.shape[0]
+    zeros = jnp.zeros((n,), jnp.int32)
+    mlo, mhi, count = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(MASK_SPAN * MASK_SPAN), body,
+        (zeros, zeros, zeros))
+    return testable, mlo, mhi, count
+
+
+def _pair_tile_decode(geom_g, mlo_g, mhi_g, rank):
+    """Per-pair rank -> (tx, ty) tile coordinates.
+
+    geom_g packs (x0 | y0<<12 | nx<<24 | masked<<30). Unmasked: row-major
+    walk of the coverage rectangle via the floor-exact f32 rcp-multiply
+    (the VPU has no int divider; exact while quotient*divisor < 2^24).
+    Masked (exact_tile_test): rank selects the rank-th SET BIT of the
+    64-bit coverage mask — a 5-step binary search over popcounts of
+    shrinking windows, all VPU-streamable ops (~40/pair, no gathers).
+    """
+    popcount = jax.lax.population_count
+    gx0 = geom_g & 0xFFF
+    gy0 = (geom_g >> 12) & 0xFFF
+    gnx = jnp.maximum((geom_g >> 24) & 0x3F, 1)
+    masked = (geom_g >> 30) & 1
+    # Unmasked rectangle walk.
+    ty_u = jnp.floor(rank.astype(jnp.float32)
+                     / gnx.astype(jnp.float32)).astype(jnp.int32)
+    tx_u = rank - ty_u * gnx
+    # Masked: rank-th set bit of (mhi:mlo).
+    c0 = popcount(mlo_g)
+    in_hi = rank >= c0
+    w = jnp.where(in_hi, mhi_g, mlo_g)
+    r = rank - jnp.where(in_hi, c0, 0)
+    pos = jnp.zeros_like(rank)
+    for width in (16, 8, 4, 2, 1):
+        window = jnp.int32((1 << width) - 1) << pos
+        c = popcount(w & window)
+        go = r >= c
+        r = r - jnp.where(go, c, 0)
+        pos = pos + jnp.where(go, width, 0)
+    k = jnp.where(in_hi, 32, 0) + pos
+    tx_m = k & 7
+    ty_m = k >> 3
+    tx = gx0 + jnp.where(masked == 1, tx_m, tx_u)
+    ty = gy0 + jnp.where(masked == 1, ty_m, ty_u)
+    return tx, ty
+
+
 @jax.custom_vjp
 def _sorted_feature_table(packed, tile, gid_pre):
     """Expansion gather + (tile, depth) radix sorts -> feature table.
@@ -172,12 +289,14 @@ def _fused_sorted_feature_table(packed, rank, gid_pre, depth_keep_bits,
     depth quantum fall back to gaussian-id order (stable sort over the
     ascending pre-sort gid). depth_keep_bits/ntx_s are traced i32 scalars.
 
-    packed is (N+1, NUM_FEATURES + 1): the extra column is the PACKED
-    COVERAGE GEOMETRY (x0 | y0<<12 | nx<<24) bitcast to f32 so it rides
-    the one per-pair row gather — a standalone (P,) geometry gather costs
+    packed is (N+1, NUM_FEATURES + 3): the extra columns are the PACKED
+    COVERAGE GEOMETRY (x0 | y0<<12 | nx<<24 | masked<<30) and the two
+    64-bit exact-coverage mask words, bitcast to f32 so they ride the one
+    per-pair row gather — a standalone (P,) geometry gather costs
     ~30 ms at P=2^22 on v5e (TPU gathers run ~1 element/cycle; a second
     gather of the same rows is NOT amortised), so the destination tile of
-    each pair is derived HERE from the gathered row + the pair's rank.
+    each pair is derived HERE from the gathered row + the pair's rank
+    (_pair_tile_decode). Only the 10 feature columns ride the sort.
 
     The 10 feature columns ride the sort as carried values (an interleaved
     A/B against sort-(key,gid)-then-gather measured no win for the gather
@@ -186,18 +305,14 @@ def _fused_sorted_feature_table(packed, rank, gid_pre, depth_keep_bits,
     Returns (feats (TABLE_ROWS, P), tile_s (P,), gid_s (P,)).
     """
     is_pad = gid_pre >= packed.shape[0] - 1
-    table = packed[gid_pre]                    # (P, F+1) ascending gather
+    table = packed[gid_pre]                    # (P, F+3) ascending gather
     geom_g = jax.lax.bitcast_convert_type(table[:, NUM_FEATURES],
                                           jnp.int32)
-    gx0 = geom_g & 0xFFF
-    gy0 = (geom_g >> 12) & 0xFFF
-    gnx = jnp.maximum(geom_g >> 24, 1)
-    # rank -> (dx, dy) within the coverage rectangle; f32 rcp-multiply is
-    # floor-exact for rank < 256, nx <= 16 (see bin_splats).
-    ty_off = jnp.floor(rank.astype(jnp.float32)
-                       / gnx.astype(jnp.float32)).astype(jnp.int32)
-    tx = gx0 + rank - ty_off * gnx
-    ty = gy0 + ty_off
+    mlo_g = jax.lax.bitcast_convert_type(table[:, NUM_FEATURES + 1],
+                                         jnp.int32)
+    mhi_g = jax.lax.bitcast_convert_type(table[:, NUM_FEATURES + 2],
+                                         jnp.int32)
+    tx, ty = _pair_tile_decode(geom_g, mlo_g, mhi_g, rank)
     tile = ty * ntx_s + tx
     depth_bits = jax.lax.bitcast_convert_type(table[:, FEAT_DEPTH],
                                               jnp.int32)
@@ -231,7 +346,7 @@ def _fused_sorted_feature_table_bwd(res, cotangents):
     dbody = jnp.zeros((n_rows, NUM_FEATURES), rows.dtype)
     dbody = dbody.at[gid_s].add(rows)
     dpacked = jnp.concatenate(
-        [dbody, jnp.zeros((n_rows, 1), rows.dtype)], axis=-1)
+        [dbody, jnp.zeros((n_rows, 3), rows.dtype)], axis=-1)
     return dpacked, None, None, None, None
 
 
@@ -243,11 +358,12 @@ _fused_sorted_feature_table.defvjp(_fused_sorted_feature_table_fwd,
 def _presorted_feature_table(packed, rank, gid_pre, ntx_s):
     """Tile-only single-key sort over pairs of DEPTH-PRESORTED gaussians.
 
-    packed: (N+1, NUM_FEATURES + 2) rows in depth order — the 10 feature
-    columns, the packed coverage geometry (as in the fused path), and the
-    ORIGINAL gaussian id bitcast to f32 (so pair_gid can be reported in
-    caller space without a (P,)-element gather, which costs ~30 ms at
-    P=2^22). gid_pre indexes the DEPTH-SORTED rows, ascending.
+    packed: (N+1, NUM_FEATURES + 4) rows in depth order — the 10 feature
+    columns, the packed coverage geometry + two mask words (as in the
+    fused path), and the ORIGINAL gaussian id bitcast to f32 (so pair_gid
+    can be reported in caller space without a (P,)-element gather, which
+    costs ~30 ms at P=2^22). gid_pre indexes the DEPTH-SORTED rows,
+    ascending.
 
     Because the pair stream is generated in depth order and the sort is
     stable, sorting by tile id alone yields (tile, depth)-sorted pairs
@@ -259,18 +375,16 @@ def _presorted_feature_table(packed, rank, gid_pre, ntx_s):
     orig_gid_s (caller-space)).
     """
     is_pad = gid_pre >= packed.shape[0] - 1
-    table = packed[gid_pre]                 # (P, F+2) ascending gather
+    table = packed[gid_pre]                 # (P, F+4) ascending gather
     geom_g = jax.lax.bitcast_convert_type(table[:, NUM_FEATURES],
                                           jnp.int32)
-    gx0 = geom_g & 0xFFF
-    gy0 = (geom_g >> 12) & 0xFFF
-    gnx = jnp.maximum(geom_g >> 24, 1)
-    ty_off = jnp.floor(rank.astype(jnp.float32)
-                       / gnx.astype(jnp.float32)).astype(jnp.int32)
-    tx = gx0 + rank - ty_off * gnx
-    ty = gy0 + ty_off
+    mlo_g = jax.lax.bitcast_convert_type(table[:, NUM_FEATURES + 1],
+                                         jnp.int32)
+    mhi_g = jax.lax.bitcast_convert_type(table[:, NUM_FEATURES + 2],
+                                         jnp.int32)
+    tx, ty = _pair_tile_decode(geom_g, mlo_g, mhi_g, rank)
     key = jnp.where(is_pad, jnp.int32(0x7FFFFFFF), ty * ntx_s + tx)
-    orig_gid = jax.lax.bitcast_convert_type(table[:, NUM_FEATURES + 1],
+    orig_gid = jax.lax.bitcast_convert_type(table[:, NUM_FEATURES + 3],
                                             jnp.int32)
     cols = [table[:, i] for i in range(NUM_FEATURES)]
     out = jax.lax.sort(tuple([key, gid_pre, orig_gid] + cols), num_keys=1)
@@ -292,7 +406,7 @@ def _presorted_feature_table_bwd(res, cotangents):
     dbody = jnp.zeros((n_rows, NUM_FEATURES), rows.dtype)
     dbody = dbody.at[gid_s].add(rows)
     dpacked = jnp.concatenate(
-        [dbody, jnp.zeros((n_rows, 2), rows.dtype)], axis=-1)
+        [dbody, jnp.zeros((n_rows, 4), rows.dtype)], axis=-1)
     return dpacked, None, None, None
 
 
@@ -320,9 +434,9 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
         row_lo = 0
         num_rows = cfg.tiles_y
     assert num_rows is not None
-    # Packed-geometry bit budget (12/12/7) and the float-division floor
-    # proof below both need bounded footprints/axes.
-    assert cfg.max_tiles_per_axis <= 64 and cfg.tiles_x <= 4096 \
+    # Packed-geometry bit budget (x0:12, y0:12, nx:6, masked-flag:1) and
+    # the float-division floor proof below both need bounded footprints.
+    assert cfg.max_tiles_per_axis <= 32 and cfg.tiles_x <= 4096 \
         and cfg.tiles_y <= 4096
     num_local = num_rows * ntx
     row_lo = jnp.asarray(row_lo, jnp.int32)
@@ -332,12 +446,23 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
 
     x0, y0, nx, ny = tile_ranges_of(splats, cfg, row_lo, row_hi)
     ncov = (nx * ny).astype(jnp.int32)
+    if cfg.exact_tile_test:
+        # Exact per-tile coverage: only tiles whose pixel rect can clear
+        # alpha_min are enumerated (the ellipse misses many corner tiles
+        # of the bounding rectangle). Output is pixel-identical; every
+        # O(P) binning pass and the per-tile compositing shrink.
+        testable, mlo, mhi, ncov_x = _coverage_masks(splats, cfg,
+                                                     x0, y0, nx, ny)
+        ncov = jnp.where(testable, ncov_x, ncov).astype(jnp.int32)
+        flag = jnp.where(testable, jnp.int32(1) << 30, 0)
+    else:
+        mlo = mhi = flag = jnp.zeros_like(ncov)
 
     # Packed per-gaussian coverage geometry: x0/y0 need <=12 bits each
-    # (4096-tile axes), nx 5 bits. Bitcast to f32, it rides the one
-    # per-pair row gather — a separate (P,) geometry gather costs ~30 ms
-    # at P=2^22.
-    geom = jnp.where(ncov > 0, x0 | (y0 << 12) | (nx << 24), 0)
+    # (4096-tile axes), nx 6 bits, exact-mask flag at bit 30. Bitcast to
+    # f32, it rides the one per-pair row gather — a separate (P,)
+    # geometry gather costs ~30 ms at P=2^22.
+    geom = jnp.where(ncov > 0, x0 | (y0 << 12) | (nx << 24) | flag, 0)
     body = jnp.concatenate([
         splats.xy, splats.conic, splats.color,
         splats.opacity[:, None], splats.depth[:, None],
@@ -362,6 +487,8 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
             (depth_key, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
         body = body[perm]
         geom = geom[perm]
+        mlo = mlo[perm]
+        mhi = mhi[perm]
         ncov = ncov[perm]
 
     # Expand to (gaussian, tile) pairs: scatter each gaussian's id (and its
@@ -409,15 +536,16 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
     # rows past the grid (up to row_lo + num_rows - 1), not just
     # num_tiles - 1; otherwise pads collide with a phantom tile and its
     # range spans the whole pad tail.
+    def i32col(x):
+        return jax.lax.bitcast_convert_type(x, jnp.float32)[:, None]
+
     if use_presort:
         packed = jnp.concatenate(
             [jnp.concatenate(
-                [body,
-                 jax.lax.bitcast_convert_type(geom, jnp.float32)[:, None],
-                 jax.lax.bitcast_convert_type(perm, jnp.float32)[:, None]],
-                axis=-1),
+                [body, i32col(geom), i32col(mlo), i32col(mhi),
+                 i32col(perm)], axis=-1),
              jnp.concatenate(
-                 [jnp.zeros((1, NUM_FEATURES + 1), jnp.float32),
+                 [jnp.zeros((1, NUM_FEATURES + 3), jnp.float32),
                   jax.lax.bitcast_convert_type(
                       jnp.full((1, 1), n, jnp.int32), jnp.float32)],
                  axis=-1)])
@@ -426,25 +554,16 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
     elif cfg.fused_sort_key and 31 - tile_bits >= 16:
         packed = jnp.concatenate(
             [jnp.concatenate(
-                [body, jax.lax.bitcast_convert_type(
-                    geom, jnp.float32)[:, None]], axis=-1),
-             jnp.zeros((1, NUM_FEATURES + 1), jnp.float32)])
+                [body, i32col(geom), i32col(mlo), i32col(mhi)], axis=-1),
+             jnp.zeros((1, NUM_FEATURES + 3), jnp.float32)])
         feats, tile_s, gid_s = _fused_sorted_feature_table(
             packed, rank, gid_pre, jnp.int32(31 - tile_bits),
             jnp.int32(ntx))
     else:
-        # Exact path computes the destination tile here (one extra (P,)
-        # geometry gather; this is the debug/fallback path).
-        geom_g = geom[jnp.minimum(gid, n - 1)]
-        gx0 = geom_g & 0xFFF
-        gy0 = (geom_g >> 12) & 0xFFF
-        gnx = jnp.maximum(geom_g >> 24, 1)
-        # rank -> (dx, dy): rank < 256 and nx <= 16 make the f32
-        # rcp-multiply division floor-exact (the VPU has no int divider).
-        ty_off = jnp.floor(rank.astype(jnp.float32)
-                           / gnx.astype(jnp.float32)).astype(jnp.int32)
-        tx = gx0 + rank - ty_off * gnx
-        ty = gy0 + ty_off
+        # Exact path computes the destination tile here (extra (P,)
+        # geometry gathers; this is the debug/fallback path).
+        gidc = jnp.minimum(gid, n - 1)
+        tx, ty = _pair_tile_decode(geom[gidc], mlo[gidc], mhi[gidc], rank)
         # Pad sentinel sorts after every real (and phantom-row) tile id.
         tile = jnp.where(is_pad, jnp.int32(1 << 30), ty * ntx + tx)
         packed = jnp.concatenate(

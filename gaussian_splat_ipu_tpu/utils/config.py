@@ -95,6 +95,17 @@ class RasterConfig:
     # radius (~3.33 sigma for opaque splats) and the tiled pipeline is
     # then pixel-exact vs the dense oracle at ~10% more pairs.
     extent_sigma: float = 3.0
+    # Exact tile-ellipse intersection test during binning. The rectangle
+    # enumeration keeps every tile of the footprint's bounding box; a
+    # splat's ellipse misses many corner tiles of that box (each missed
+    # tile = one dead (gaussian, tile) pair through every O(P) binning
+    # pass AND a full compositing pass over 1024 pixels). With this on,
+    # each gaussian builds a 64-bit coverage mask over (up to) an 8x8
+    # tile window by minimising the conic quadratic over each tile's
+    # pixel rectangle; only tiles where some pixel can clear alpha_min
+    # are enumerated, so the output is pixel-identical. Footprints wider
+    # than 8 tiles on either axis keep the full rectangle.
+    exact_tile_test: bool = False
     # Cap the SH band actually evaluated (-1 = the model's full degree).
     # Training schedules raise this progressively (standard 3DGS: one band
     # per 1000 iterations) — it is static, so each bump recompiles once.
