@@ -84,12 +84,20 @@ def main():
     base = RasterConfig(image_width=WIDTH, image_height=HEIGHT,
                         pair_capacity=1 << cap_log2)
 
-    # Demand probe once (alpha-aware extents may have moved it).
-    out = jax.jit(lambda m: render(m, cam_of_k(jnp.float32(0.0)), base,
-                                   True).num_pairs)(model)
-    demand = int(out)
-    tight = 1 << max(int(np.ceil(np.log2(max(demand * 1.3, 1024)))), 12)
-    print(f"pair demand {demand} -> tight capacity {tight}", flush=True)
+    # Demand probes (alpha-aware extents and the exact tile test both
+    # reduce demand; capacity follows demand since every pass is O(P)).
+    def probe(cfg):
+        d = int(jax.jit(lambda m: render(m, cam_of_k(jnp.float32(0.0)),
+                                         cfg, True).num_pairs)(model))
+        cap = 1 << max(int(np.ceil(np.log2(max(d * 1.3, 1024)))), 12)
+        return d, cap
+
+    base_tt = dataclasses.replace(base, exact_tile_test=True)
+    demand, tight = probe(base)
+    demand_tt, tight_tt = probe(base_tt)
+    print(f"pair demand {demand} -> tight {tight}; with tile test "
+          f"{demand_tt} ({1 - demand_tt / max(demand, 1):.1%} cut) "
+          f"-> {tight_tt}", flush=True)
 
     variants = {
         "fused_full": base,
@@ -98,6 +106,10 @@ def main():
                                              presort_depth=True),
         "exact2pass_tight": dataclasses.replace(base, pair_capacity=tight,
                                                 fused_sort_key=False),
+        "fused_tight_tiletest": dataclasses.replace(
+            base_tt, pair_capacity=tight_tt),
+        "presort_tight_tiletest": dataclasses.replace(
+            base_tt, pair_capacity=tight_tt, presort_depth=True),
     }
     results = {}
     for name, cfg in variants.items():
@@ -110,6 +122,7 @@ def main():
         print(f"{name}: {1e3 * dt:.2f} ms/frame", flush=True)
 
     print(json.dumps({"n_gaussians": n, "demand": demand,
+                      "demand_tiletest": demand_tt,
                       "ms_per_frame": results}))
 
 
