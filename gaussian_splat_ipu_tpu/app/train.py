@@ -238,9 +238,9 @@ def main(argv=None) -> int:
             state = trainer.TrainState(
                 params=ensure_sharded(state.params, mesh),
                 opt_state=state.opt_state, step=state.step)
-            if args.auto_grow:
-                log.warning("--auto-grow is single-device only; growth "
-                            "events disabled under --distributed")
+            if args.auto_grow and capacity % len(jax.devices()):
+                log.warning("--auto-grow needs a capacity divisible by "
+                            "the device count; growth events disabled")
                 args.auto_grow = False
             log.info("distributed density control over %d devices",
                      len(jax.devices()))
@@ -389,8 +389,12 @@ def main(argv=None) -> int:
                 slot_cap = state.params.num_gaussians
                 if (args.auto_grow and densify_open
                         and alive_now > int(0.9 * slot_cap)):
-                    state, dstate = densify_lib.grow_capacity(
-                        state, dstate, 2 * slot_cap)
+                    if use_dist:
+                        state, dstate = distributed.grow_capacity_sharded(
+                            mesh, state, dstate, 2 * slot_cap)
+                    else:
+                        state, dstate = densify_lib.grow_capacity(
+                            state, dstate, 2 * slot_cap)
                     log.info("slot buffer grown to %d (one recompile)",
                              2 * slot_cap)
                 log.info("densify at step %d: %d gaussians alive "

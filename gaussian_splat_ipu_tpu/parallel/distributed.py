@@ -445,6 +445,73 @@ def make_view_batch_train_step(mesh, raster_cfg: RasterConfig,
     return step
 
 
+def grow_capacity_sharded(mesh, state, dstate, new_capacity: int,
+                          axis: str = SHARD_AXIS):
+    """Slot-buffer growth on SHARDED training state (the distributed
+    analogue of train/densify.py::grow_capacity).
+
+    Each device pads ITS slice of every gaussian-axis leaf with dead
+    slots, so the grown buffers keep the even P(axis) layout with no
+    gather or reshard (growth at the GLOBAL end would land every new slot
+    on the last device). New slots are invisible and unallocated
+    (opacity/log_scales -30, identity quats, alive=False); the
+    rank-and-scatter surgery allocates by the alive mask, so interleaved
+    dead runs are as good as a contiguous tail. One recompile per growth,
+    exactly like the single-device path.
+    """
+    from gaussian_splat_ipu_tpu.train import densify as densify_lib
+
+    d = mesh.shape[axis]
+    old = dstate.alive.shape[0]
+    if new_capacity == old:
+        return state, dstate
+    if new_capacity < old or new_capacity % d or old % d:
+        raise ValueError(f"capacity {old} -> {new_capacity} must grow in "
+                         f"multiples of the mesh size {d}")
+    pad_per = (new_capacity - old) // d
+
+    def grow(x, make_pad):
+        spec = P(*([axis] + [None] * (x.ndim - 1)))
+
+        def local(xs):
+            return jnp.concatenate(
+                [xs, make_pad((pad_per,) + xs.shape[1:], xs.dtype)], 0)
+
+        return shard_map(local, mesh=mesh, in_specs=(spec,),
+                         out_specs=spec)(x)
+
+    def zeros(shape, dt):
+        return jnp.zeros(shape, dt)
+
+    def const(v):
+        return lambda shape, dt: jnp.full(shape, v, dt)
+
+    def quat_pad(shape, dt):
+        return jnp.tile(jnp.array([[1.0, 0.0, 0.0, 0.0]], dt),
+                        (shape[0], 1))
+
+    p = state.params
+    params = GaussianModel(
+        means=grow(p.means, zeros),
+        log_scales=grow(p.log_scales, const(-30.0)),
+        quats=grow(p.quats, quat_pad),
+        opacities=grow(p.opacities, const(-30.0)),
+        sh=grow(p.sh, zeros))
+    opt_state = jax.tree.map(
+        lambda x: grow(x, zeros)
+        if (isinstance(x, jnp.ndarray) and x.ndim >= 1
+            and x.shape[0] == old) else x,
+        state.opt_state)
+    new_state = trainer.TrainState(params=params, opt_state=opt_state,
+                                   step=state.step)
+    new_dstate = densify_lib.DensifyState(
+        grad_sum=grow(dstate.grad_sum, zeros),
+        vis_count=grow(dstate.vis_count, zeros),
+        alive=grow(dstate.alive, zeros),
+        key=dstate.key)
+    return new_state, new_dstate
+
+
 def make_sharded_densify_train_step(mesh, raster_cfg: RasterConfig,
                                     train_cfg: trainer.TrainConfig,
                                     axis: str = SHARD_AXIS,

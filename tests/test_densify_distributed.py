@@ -80,3 +80,44 @@ def test_densify_event_on_sharded_state():
     state2, dstate2, loss2 = step(new_state, new_dstate, cam, target)
     assert np.isfinite(float(loss2))
     assert state2.params.num_gaussians == 64
+
+
+def test_grow_capacity_sharded_matches_single_device_semantics():
+    # Growth on sharded state: per-shard padding keeps an even P(axis)
+    # layout, the alive population is unchanged, and a subsequent sharded
+    # densify step produces the same loss as before growth (dead slots
+    # render as nothing).
+    state, dstate, cam, target = _setup(capacity=64, n_alive=48)
+    mesh = meshlib.make_mesh(8)
+    state = trainer.TrainState(
+        params=meshlib.shard_model(state.params, mesh),
+        opt_state=state.opt_state, step=state.step)
+    step = distributed.make_sharded_densify_train_step(mesh, CFG, TC,
+                                                       use_pallas=False)
+    _, _, loss_before = step(*_clone(state, dstate), cam, target)
+
+    state2, dstate2 = distributed.grow_capacity_sharded(mesh, state,
+                                                        dstate, 128)
+    assert state2.params.num_gaussians == 128
+    assert dstate2.alive.shape == (128,)
+    assert int(jnp.sum(dstate2.alive)) == 48
+    # Even layout: every device owns 16 rows of every grown leaf.
+    shard_rows = {s.data.shape[0]
+                  for s in state2.params.means.addressable_shards}
+    assert shard_rows == {16}
+    # New slots are dead AND invisible: same loss at the new capacity.
+    step2 = distributed.make_sharded_densify_train_step(mesh, CFG, TC,
+                                                        use_pallas=False)
+    _, _, loss_after = step2(state2, dstate2, cam, target)
+    np.testing.assert_allclose(float(loss_after), float(loss_before),
+                               rtol=1e-6)
+    # Growth by a non-multiple of the mesh is refused loudly.
+    import pytest
+    with pytest.raises(ValueError):
+        distributed.grow_capacity_sharded(mesh, state, dstate, 130)
+
+
+def _clone(state, dstate):
+    # step donates its inputs; give it throwaway copies.
+    c = jax.tree.map(lambda x: jnp.array(x), (state, dstate))
+    return c[0], c[1]
