@@ -98,6 +98,7 @@ class InterfaceServer:
         from gaussian_splat_ipu_tpu.ui.stream import VideoEncoder
         self._encoder = VideoEncoder()
         self._encoder_client = None
+        self._detach_requester: Optional[socket.socket] = None
 
     # -- lifecycle ---------------------------------------------------------
     def start(self) -> None:
@@ -126,17 +127,24 @@ class InterfaceServer:
         return self._client is not None
 
     def drop_client(self) -> None:
-        """Destroy the client connection but keep serving (reference
-        detach semantics, InterfaceServer.hpp:26-27): the accept loop
-        stays alive, so a viewer can reconnect later — the video encoder
-        emits a fresh keyframe for it."""
-        client, self._client = self._client, None
-        if client is not None:
-            try:
-                client.close()
-            except OSError:
-                pass
-            log.info("UI client detached")
+        """Destroy the DETACH REQUESTER's connection but keep serving
+        (reference detach semantics, InterfaceServer.hpp:26-27): the
+        accept loop stays alive, so a viewer can reconnect later — the
+        video encoder emits a fresh keyframe for it.
+
+        The render loop consumes the detach event asynchronously, so by
+        the time it calls here the requester may already have hung up and
+        a NEW viewer connected; dropping whoever is current would kick
+        the newcomer. Only the socket that sent the packet is closed."""
+        requester, self._detach_requester = self._detach_requester, None
+        if requester is None or requester is not self._client:
+            return  # requester already disconnected on its own
+        self._client = None
+        try:
+            requester.close()
+        except OSError:
+            pass
+        log.info("UI client detached")
 
     # -- state (consume semantics, InterfaceServer.hpp:246-251) ------------
     def state_changed(self) -> bool:
@@ -262,6 +270,7 @@ class InterfaceServer:
                 s.stop = True
             elif ptype == "detach":
                 s.detach = True
+                self._detach_requester = self._client
             elif ptype == "fov":
                 s.fov = float(v)
             elif ptype == "lambda1":

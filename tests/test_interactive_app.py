@@ -163,3 +163,53 @@ def test_auto_pair_capacity_probe(tmp_path, monkeypatch):
         "--output", str(out), "--log-level", "off"])
     assert rc == 0
     assert out.exists()
+
+
+def test_viewer_cli_records_stream(tmp_path):
+    # The consumer-side viewer CLI (ui/viewer.py): attach to a running
+    # app, record decoded frames + histogram, detach leaving it alive.
+    import json
+
+    from gaussian_splat_ipu_tpu.app import main as app_main
+    from gaussian_splat_ipu_tpu.ui import viewer
+
+    scene = tmp_path / "pts.xyz"
+    rng = np.random.default_rng(1)
+    np.savetxt(scene, rng.uniform(-1, 1, (64, 3)), fmt="%.5f")
+    port = _free_port()
+    out_dir = tmp_path / "rec"
+
+    rc_holder = {}
+
+    def run_app():
+        rc_holder["rc"] = app_main.main([
+            "--input", str(scene), "--device", "cpu", "--width", "64",
+            "--height", "64", "--ui-port", str(port), "--output",
+            str(tmp_path / "final.png"),
+            "--pair-capacity", str(1 << 12), "--log-level", "off",
+        ])
+
+    t = threading.Thread(target=run_app, daemon=True)
+    t.start()
+
+    deadline = time.time() + 90
+    rc = None
+    while rc is None and time.time() < deadline:
+        try:
+            rc = viewer.main(["--port", str(port), "--seconds", "6",
+                              "--spin", "30", "--out", str(out_dir),
+                              "--fov", "45"])
+        except OSError:
+            time.sleep(0.2)
+    assert rc == 0
+    frames = sorted(out_dir.glob("view_*.png"))
+    assert frames, "viewer recorded no frames"
+    assert (out_dir / "histogram.json").exists()
+    hist = json.loads((out_dir / "histogram.json").read_text())
+    assert "counts" in hist
+
+    # Detach left the app alive: a second viewer session can stop it.
+    rc2 = viewer.main(["--port", str(port), "--seconds", "1", "--stop"])
+    assert rc2 == 0
+    t.join(timeout=60)
+    assert rc_holder.get("rc") == 0
