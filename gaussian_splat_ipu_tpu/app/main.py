@@ -50,6 +50,10 @@ def parse_args(argv=None):
                    help="(gaussian, tile) pair-table size; every binning "
                         "pass is O(capacity). 0 = probe worst-case demand "
                         "over an orbit and right-size automatically")
+    p.add_argument("--exact-tiles", action="store_true",
+                   help="exact tile-ellipse coverage test: enumerate only "
+                        "tiles a splat can actually light (fewer pairs, "
+                        "identical image)")
     p.add_argument("--compile-cache", default="",
                    help="persistent XLA compile cache dir "
                         "(saveExe/loadExe parity)")
@@ -130,7 +134,8 @@ def main(argv=None) -> int:
         args.pair_capacity = 1 << 12  # points path never builds pairs
 
     cfg = RasterConfig(image_width=args.width, image_height=args.height,
-                       pair_capacity=args.pair_capacity)
+                       pair_capacity=args.pair_capacity,
+                       exact_tile_test=args.exact_tiles)
     runtime_cfg = RuntimeConfig(
         compile_cache_dir=args.compile_cache,
         use_cpu_model=(args.device != "tpu"))

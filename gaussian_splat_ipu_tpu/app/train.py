@@ -62,6 +62,9 @@ def parse_args(argv=None):
                         "every N steps (3DGS uses 1000; 0 = all bands "
                         "from the start). Each bump recompiles once.")
     p.add_argument("--pair-capacity", type=int, default=1 << 18)
+    p.add_argument("--exact-tiles", action="store_true",
+                   help="exact tile-ellipse coverage test (fewer pairs, "
+                        "identical image)")
     p.add_argument("--checkpoint", default="",
                    help="write final params + opt state here (.npz)")
     p.add_argument("--export-ply", default="",
@@ -140,7 +143,8 @@ def main(argv=None) -> int:
         args.views = len(cameras)
         args.width, args.height = fs.width, fs.height
         cfg = RasterConfig(image_width=fs.width, image_height=fs.height,
-                           pair_capacity=args.pair_capacity)
+                           pair_capacity=args.pair_capacity,
+                           exact_tile_test=args.exact_tiles)
         origins = np.stack([np.asarray(c.cam_origin) for c in cameras])
         center = origins.mean(0)
         extent = float(np.linalg.norm(origins - center, axis=1).max())
@@ -160,7 +164,8 @@ def main(argv=None) -> int:
             scene = load_scene(args.input)
         cfg = RasterConfig(image_width=args.width,
                            image_height=args.height,
-                           pair_capacity=args.pair_capacity)
+                           pair_capacity=args.pair_capacity,
+                           exact_tile_test=args.exact_tiles)
         fov = float(np.radians(40.0))
         aspect = args.width / args.height
         extent = float(np.linalg.norm(scene.bb_max - scene.bb_min) * 0.5)
