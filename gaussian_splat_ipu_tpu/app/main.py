@@ -199,6 +199,7 @@ def main(argv=None) -> int:
     interactive = ui is not None and args.frames == 0
     inflight = collections.deque()
     t_last_retire = None
+    drop_counts = [(0, 0)]  # (overflow, truncated), telemetry cadence
     last_image = None
     n_retired = 0
     if args.dump_frames:
@@ -254,7 +255,11 @@ def main(argv=None) -> int:
                 # or per-tile work bound; warn instead of silently dropping
                 # splats. Rate-limited to the logging cadence.
                 if i % 30 == 0:
-                    ovf, trc = int(ovf_d), int(trc_d)
+                    # Each scalar fetch is a full device round trip
+                    # (~40 ms over the tunnel): refresh on the telemetry
+                    # cadence only and reuse for the UI histogram below.
+                    drop_counts[0] = (int(ovf_d), int(trc_d))
+                    ovf, trc = drop_counts[0]
                     if ovf or trc:
                         log.warning(
                             "frame %d: dropped splat pairs (overflow=%d "
@@ -284,7 +289,8 @@ def main(argv=None) -> int:
                     cnt_host = np.asarray(cnt_d)
 
                     def push(img=img_host, cnt=cnt_host, ex=exposure,
-                             gm=gamma, ov=int(ovf_d), tr=int(trc_d)):
+                             gm=gamma, ov=drop_counts[0][0],
+                             tr=drop_counts[0][1]):
                         # Continuous video stream (long-lived encoder,
                         # ui/stream.py) — not independent stills.
                         ui.send_video_frame(img, ex, gm)

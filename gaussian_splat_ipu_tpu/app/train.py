@@ -126,6 +126,16 @@ def main(argv=None) -> int:
         from gaussian_splat_ipu_tpu.io import dataset as dataset_lib
         fs = dataset_lib.load_transforms(args.dataset,
                                          downscale=args.downscale)
+        def as_target(im):
+            """RGBA datasets (NeRF-synthetic) carry straight alpha; the
+            renderer outputs premultiplied-over-black RGB, so composite
+            the target over the same (black) background before the loss
+            / PSNR compares the RGB channels (eval.py does the same)."""
+            im = np.asarray(im, np.float32)
+            if im.shape[-1] == 4:
+                im = im[..., :3] * im[..., 3:4]
+            return im
+
         holdout_cams, holdout_targets = [], []
         if args.holdout_every > 0:
             from gaussian_splat_ipu_tpu.app import eval as eval_app
@@ -133,13 +143,14 @@ def main(argv=None) -> int:
                                          args.holdout_every)
             train_idx = [i for i in range(len(fs)) if i not in set(hold)]
             holdout_cams = [fs.cameras[i] for i in hold]
-            holdout_targets = [np.asarray(fs.images[i]) for i in hold]
+            holdout_targets = [as_target(fs.images[i]) for i in hold]
             log.info("holdout: %d eval views (every %d), %d train views",
                      len(hold), args.holdout_every, len(train_idx))
         else:
             train_idx = list(range(len(fs)))
         cameras = [fs.cameras[i] for i in train_idx]
-        targets = [jnp.asarray(fs.images[i]) for i in train_idx]
+        targets = [jnp.asarray(as_target(fs.images[i]))
+                   for i in train_idx]
         args.views = len(cameras)
         args.width, args.height = fs.width, fs.height
         cfg = RasterConfig(image_width=fs.width, image_height=fs.height,
@@ -213,6 +224,12 @@ def main(argv=None) -> int:
         from gaussian_splat_ipu_tpu.train import densify as densify_lib
         n0 = model.num_gaussians
         capacity = args.capacity or 2 * n0
+        if args.distributed:
+            # Sharded slot buffers must divide evenly over the mesh:
+            # shard_model would otherwise pad params past `capacity`
+            # while dstate stays at `capacity` (shape desync).
+            d_all = len(jax.devices())
+            capacity = -(-capacity // d_all) * d_all
         gscale = 1.0
         if args.ssim_weight > 0.0:
             # L1-calibrated threshold, SSIM-weighted loss: normalise by
@@ -243,10 +260,6 @@ def main(argv=None) -> int:
             state = trainer.TrainState(
                 params=ensure_sharded(state.params, mesh),
                 opt_state=state.opt_state, step=state.step)
-            if args.auto_grow and capacity % len(jax.devices()):
-                log.warning("--auto-grow needs a capacity divisible by "
-                            "the device count; growth events disabled")
-                args.auto_grow = False
             log.info("distributed density control over %d devices",
                      len(jax.devices()))
         log.info("density control on: %d init gaussians, capacity %d",
@@ -328,15 +341,13 @@ def main(argv=None) -> int:
 
     if args.densify:
         if use_dist:
-            # Per-device pair budget (render_sharded default: even share
-            # with 2x imbalance slack); the soft guard compares global
-            # demand against the summed budget, and counted overflow
-            # catches any single hot device.
+            # The soft guard compares global demand against the summed
+            # per-device budget render_sharded itself will use (ONE
+            # definition: distributed.default_pair_budget); counted
+            # overflow catches any single hot device.
             d_mesh = len(jax.devices())
-            per_dev = max(2 * cfg.pair_capacity // d_mesh,
-                          4 * cfg.chunk_size)
-            per_dev = -(-per_dev // cfg.chunk_size) * cfg.chunk_size
-            probe_capacity = per_dev * d_mesh
+            probe_capacity = distributed.default_pair_budget(
+                cfg, d_mesh) * d_mesh
             _probe_one = jax.jit(
                 lambda m, c: (lambda o: (o.num_pairs + o.overflow,
                                          o.overflow))(
@@ -448,13 +459,20 @@ def main(argv=None) -> int:
     def host_tree(tree):
         """Materialise a (possibly multi-process-sharded) pytree on every
         host. process_allgather is a collective: ALL processes call it,
-        only the primary writes files."""
-        if multiproc:
-            from jax.experimental import multihost_utils
-            return jax.tree.map(
-                lambda x: multihost_utils.process_allgather(x, tiled=True),
-                tree)
-        return tree
+        only the primary writes files. Fully-addressable leaves (the
+        optimizer's 0-d step counts etc. — identical on every process by
+        SPMD construction) are taken as-is: process_allgather would
+        expand_dims+concat them to shape (nproc, ...)."""
+        if not multiproc:
+            return tree
+        from jax.experimental import multihost_utils
+
+        def gather(x):
+            if not isinstance(x, jax.Array) or x.is_fully_addressable:
+                return np.asarray(x)
+            return multihost_utils.process_allgather(x, tiled=True)
+
+        return jax.tree.map(gather, tree)
 
     if args.checkpoint:
         state_h = trainer.TrainState(params=host_tree(state.params),

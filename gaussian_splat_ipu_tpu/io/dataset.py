@@ -65,8 +65,22 @@ def _load_image(path: str, downscale: int):
                          Image.BILINEAR)
     arr = np.asarray(img, dtype=np.float32) / 255.0
     if arr.ndim == 2:
-        arr = np.repeat(arr[..., None], 3, axis=-1)
+        arr = arr[..., None]
+    arr = _expand_channels(arr)
     return arr, orig
+
+
+def _expand_channels(arr: np.ndarray) -> np.ndarray:
+    """Normalise decoded channel counts to the FrameSet contract
+    C in {3, 4}: grayscale -> RGB, gray+alpha (PNG color type 4) ->
+    RGBA."""
+    c = arr.shape[-1]
+    if c == 1:
+        return np.repeat(arr, 3, axis=-1)
+    if c == 2:
+        return np.concatenate(
+            [np.repeat(arr[..., :1], 3, axis=-1), arr[..., 1:]], axis=-1)
+    return arr
 
 
 def load_transforms(path: str, downscale: int = 1,
@@ -117,8 +131,7 @@ def load_transforms(path: str, downscale: int = 1,
         got = prefetch.fetch(jobs[k]) if prefetch is not None else None
         if got is not None:
             img, (w0, h0) = got
-            if img.shape[-1] == 1:
-                img = np.repeat(img, 3, axis=-1)
+            img = _expand_channels(img)
         else:
             img, (w0, h0) = _load_image(img_path, downscale)
         h, w = img.shape[:2]

@@ -184,6 +184,13 @@ def read_ply(path: str, vertex_range: Optional[Tuple[int, int]] = None
     slice of a huge scene (io cost scales with the shard, not the file —
     the sharded-loading leg of north-star config 5). Other elements are
     unaffected."""
+    if vertex_range is not None:
+        lo, hi = vertex_range
+        if lo < 0 or hi < lo:
+            # A negative-length range would make the binary reader
+            # f.read(negative) -> slurp-to-EOF and np.frombuffer(count<0)
+            # parse garbage rows; refuse loudly instead.
+            raise ValueError(f"bad vertex_range {vertex_range}")
     with open(path, "rb") as f:
         elements, fmt, offset = _parse_header(f)
         if fmt == "ascii":

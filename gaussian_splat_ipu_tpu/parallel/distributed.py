@@ -188,6 +188,15 @@ def _exchange_capacity(nloc: int, d: int,
     return -(-cap // 128) * 128
 
 
+def default_pair_budget(cfg: RasterConfig, d: int) -> int:
+    """Per-device pair-table budget used when the caller passes no
+    pair_capacity: an even share of the global table with 2x slack for
+    view-dependent imbalance, chunk-aligned. ONE definition — the train
+    CLI's densify pair-demand guard compares against this same budget."""
+    per = max(2 * cfg.pair_capacity // d, 4 * cfg.chunk_size)
+    return -(-per // cfg.chunk_size) * cfg.chunk_size
+
+
 def _untile_rows(tiles: jnp.ndarray, cfg: RasterConfig,
                  rows_total: int) -> jnp.ndarray:
     """(rows_total * tiles_x, NPIX, 4) -> (H, W, 4), cropping phantom rows."""
@@ -227,9 +236,7 @@ def render_sharded(model: GaussianModel, camera: Camera, cfg: RasterConfig,
     d = mesh.shape[axis]
     rows = _rows_per_device(cfg, d)
     if pair_capacity is None:
-        # Per-device pair budget: an even share plus 2x imbalance slack,
-        # rounded up to a chunk multiple (binning requires alignment).
-        pair_capacity = max(2 * cfg.pair_capacity // d, 4 * cfg.chunk_size)
+        pair_capacity = default_pair_budget(cfg, d)
     pair_capacity = -(-pair_capacity // cfg.chunk_size) * cfg.chunk_size
     if xy_probe is None:
         xy_probe = jnp.zeros((model.num_gaussians, 2), jnp.float32)
@@ -328,8 +335,8 @@ def render_views_sharded(model: GaussianModel, cameras: Camera,
                          use_pallas: bool = True,
                          pair_capacity: int | None = None,
                          exchange: str = "all_to_all",
-                         exchange_capacity: int | None = None
-                         ) -> jnp.ndarray:
+                         exchange_capacity: int | None = None,
+                         with_stats: bool = False):
     """Render a BATCH of views over a 2D (view, shard) mesh.
 
     cameras: Camera pytree with a leading view dimension V (divisible by
@@ -338,14 +345,17 @@ def render_views_sharded(model: GaussianModel, cameras: Camera,
     the batch (data parallelism over frames — the second classic axis,
     which the reference cannot express at all); within a group the
     gaussians/tile-rows sharding of render_sharded applies. Returns
-    (V, H, W, 4), view- and tile-row-sharded. Differentiable; the
-    transpose of the view-axis replication psums parameter gradients.
+    (V, H, W, 4), view- and tile-row-sharded — or (images, stats) with
+    with_stats=True, where stats holds the summed drop counters
+    (exchange_overflow / overflow / truncated: counted, never silent).
+    Differentiable; the transpose of the view-axis replication psums
+    parameter gradients.
     """
     d = mesh.shape[shard_axis]
     rows = _rows_per_device(cfg, d)
     nloc_rows_total = rows * d
     if pair_capacity is None:
-        pair_capacity = max(2 * cfg.pair_capacity // d, 4 * cfg.chunk_size)
+        pair_capacity = default_pair_budget(cfg, d)
     pair_capacity = -(-pair_capacity // cfg.chunk_size) * cfg.chunk_size
     cap = _exchange_capacity(-(-model.num_gaussians // d), d,
                              exchange_capacity)
@@ -354,7 +364,9 @@ def render_views_sharded(model: GaussianModel, cameras: Camera,
     program = _render_views_program(cfg, mesh, view_axis, shard_axis,
                                     use_pallas, pair_capacity, exchange,
                                     cap, cam_treedef)
-    return program(model, tuple(jax.tree_util.tree_leaves(cameras)))
+    images, stats = program(model,
+                            tuple(jax.tree_util.tree_leaves(cameras)))
+    return (images, stats) if with_stats else images
 
 
 @functools.lru_cache(maxsize=None)
@@ -374,11 +386,12 @@ def _render_views_program(cfg, mesh, view_axis, shard_axis, use_pallas,
             packed = _pack_splats(sp_local)
             if exchange == "all_to_all":
                 dest_lo, span = _dest_strip_span(sp_local, cfg, rows)
-                routed, _ = _route_all_to_all(packed, dest_lo, span,
-                                              shard_axis, d, cap)
+                routed, xovf = _route_all_to_all(packed, dest_lo, span,
+                                                 shard_axis, d, cap)
             else:
                 routed = jax.lax.all_gather(packed, shard_axis, axis=0,
                                             tiled=True)
+                xovf = jnp.int32(0)
             sp = _unpack_splats(routed)
             row_lo = jax.lax.axis_index(shard_axis) * rows
             binned = binning.bin_splats(sp, cfg, row_lo=row_lo,
@@ -387,27 +400,41 @@ def _render_views_program(cfg, mesh, view_axis, shard_axis, use_pallas,
             offset = row_lo * cfg.tiles_x
             if use_pallas:
                 from gaussian_splat_ipu_tpu.render.kernels import rasterize
-                return rasterize.rasterize_tiles(binned, cfg,
-                                                 tile_offset=offset)
-            return tile_raster.rasterize_tiles_jnp(binned, cfg,
-                                                   tile_offset=offset)
+                tiles = rasterize.rasterize_tiles(binned, cfg,
+                                                  tile_offset=offset)
+            else:
+                tiles = tile_raster.rasterize_tiles_jnp(
+                    binned, cfg, tile_offset=offset)
+            work_cap = cfg.max_chunks_per_tile * cfg.chunk_size
+            counts = binned.tile_ends - binned.tile_starts
+            stats = jnp.stack([
+                xovf, binned.overflow,
+                jnp.sum(jnp.maximum(counts - work_cap, 0))])
+            return tiles, stats
 
         # Sequential over the local view slice: each view already uses the
         # whole shard group; parallelism across views comes from the mesh.
-        return jax.lax.map(one_view, cams_local_leaves)
+        tiles, stats = jax.lax.map(one_view, cams_local_leaves)
+        # Drop counters, like the single-view renderer's, are COUNTED and
+        # surfaced, never silent: sum over local views + both mesh axes.
+        stats = jax.lax.psum(jnp.sum(stats, axis=0),
+                             (view_axis, shard_axis))
+        return tiles, stats
 
     mapped = shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(shard_axis), P(view_axis)),
-        out_specs=P(view_axis, shard_axis),
+        out_specs=(P(view_axis, shard_axis), P()),
         check_vma=False,
     )
 
     @jax.jit
     def run(model, cam_leaves):
-        tiles = mapped(model, cam_leaves)  # (V, T_local*d, NPIX, 4)
-        return jax.vmap(
+        tiles, stats = mapped(model, cam_leaves)  # (V, T_local*d, NPIX, 4)
+        images = jax.vmap(
             lambda t: _untile_rows(t, cfg, nloc_rows_total))(tiles)
+        return images, {"exchange_overflow": stats[0],
+                        "overflow": stats[1], "truncated": stats[2]}
 
     return run
 
@@ -424,23 +451,26 @@ def make_view_batch_train_step(mesh, raster_cfg: RasterConfig,
     tx = trainer.make_optimizer(train_cfg)
 
     def loss_fn(params, cameras, targets):
-        images = render_views_sharded(params, cameras, raster_cfg, mesh,
-                                      view_axis, shard_axis, use_pallas,
-                                      pair_capacity)
+        images, stats = render_views_sharded(
+            params, cameras, raster_cfg, mesh, view_axis, shard_axis,
+            use_pallas, pair_capacity, with_stats=True)
         losses_v = jax.vmap(
             lambda im, tg: loss_lib.render_loss(im, tg,
                                                 train_cfg.ssim_weight))(
             images, targets)
-        return jnp.mean(losses_v)
+        return jnp.mean(losses_v), stats
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: trainer.TrainState, cameras, targets):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, cameras,
-                                                  targets)
+        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, cameras, targets)
         params, opt_state = trainer.apply_param_updates(
             tx, state.params, grads, state.opt_state)
+        # stats carries the summed drop counters (exchange_overflow /
+        # overflow / truncated) — check them like RenderOutput's: dropped
+        # rows corrupt gradients silently otherwise.
         return trainer.TrainState(params=params, opt_state=opt_state,
-                                  step=state.step + 1), loss
+                                  step=state.step + 1), loss, stats
 
     return step
 

@@ -115,7 +115,9 @@ def load_scene_sharded(path: str, mesh, axis: str = "shard",
     # jax.devices() order).
     n_pad = -(-n // d_total) * d_total
     per_proc = n_pad // nproc
-    lo = jax.process_index() * per_proc
+    # A pure-padding process (tiny scene, many hosts) must clamp BOTH
+    # bounds: lo > n would hand read_ply a negative-length range.
+    lo = min(jax.process_index() * per_proc, n)
     hi = min(lo + per_proc, n)
 
     fields = ply_io.load_points(path, row_range=(lo, hi))

@@ -53,8 +53,11 @@ def test_view_batch_train_step():
     targets = jnp.zeros((4, 128, 64, 4), jnp.float32)
     step = distributed.make_view_batch_train_step(
         mesh, CFG, tc, use_pallas=False, pair_capacity=1 << 12)
-    new_state, loss = step(state, batch, targets)
+    new_state, loss, stats = step(state, batch, targets)
     assert np.isfinite(float(loss))
+    # Drop counters surface through the step (counted-never-silent).
+    assert int(stats["exchange_overflow"]) == 0
+    assert int(stats["overflow"]) == 0
     delta = np.abs(np.asarray(new_state.params.means) - means_before).max()
     assert delta > 0.0
 
