@@ -69,6 +69,9 @@ def parse_args(argv=None):
                    help="write final params + opt state here (.npz)")
     p.add_argument("--export-ply", default="",
                    help="write trained scene as standard 3DGS PLY")
+    p.add_argument("--export-splat", default="",
+                   help="write trained scene as a web-viewer .splat "
+                        "(antimatter15 format; u8-quantised)")
     p.add_argument("--distributed", action="store_true",
                    help="shard over all local devices (parallel/)")
     p.add_argument("--densify", action="store_true",
@@ -502,6 +505,16 @@ def main(argv=None) -> int:
             if multihost.is_primary():
                 checkpoint.export_ply(args.export_ply, params)
                 log.info("scene -> %s", args.export_ply)
+    if args.export_splat:
+        from gaussian_splat_ipu_tpu.io import splat as splat_io
+        params = host_tree(state.params)
+        params = GaussianModel(*[jnp.asarray(np.asarray(x)) for x in
+                                 jax.tree_util.tree_leaves(params)])
+        if args.densify:
+            params = densify_lib.compact(params, dstate)
+        if multihost.is_primary():
+            splat_io.write_splat(args.export_splat, params)
+            log.info("scene -> %s (.splat)", args.export_splat)
     tail = f" eval_psnr={eval_psnr:.2f}" if eval_psnr is not None else ""
     print(f"final_loss={float(loss):.6f} psnr={psnr:.2f}{tail}")
     return 0

@@ -339,4 +339,7 @@ def load_points(path: str, row_range=None):
         return {"means": read_xyz(path, row_range)}
     if ext == "ply":
         return gaussian_fields_from_ply(read_ply(path, row_range))
+    if ext == "splat":
+        from gaussian_splat_ipu_tpu.io import splat as splat_io
+        return splat_io.read_splat(path, row_range)
     raise ValueError(f"unsupported scene file extension: .{ext}")

@@ -101,14 +101,18 @@ def load_scene_sharded(path: str, mesh, axis: str = "shard",
     d_total = int(np.prod(list(mesh.shape.values()))) if hasattr(
         mesh, "shape") else len(jax.devices())
     ext = path.rsplit(".", 1)[-1].lower()
-    if ext != "ply" or nproc == 1:
+    if ext not in ("ply", "splat") or nproc == 1:
         # xyz files and single-process runs: plain full load, then place.
         scene = scene_lib.load_scene(path, center, flip_z, sh_degree)
         from gaussian_splat_ipu_tpu.parallel import mesh as meshlib
         scene.model = meshlib.shard_model(scene.model, mesh, axis)
         return scene
 
-    n = ply_io.count_vertices(path)
+    if ext == "splat":
+        from gaussian_splat_ipu_tpu.io import splat as splat_io
+        n = splat_io.count_records(path)
+    else:
+        n = ply_io.count_vertices(path)
     # Row geometry must match the mesh sharding exactly: pad N to a
     # multiple of the device count, give each process an equal run of
     # device shards (processes own contiguous device ranges in
