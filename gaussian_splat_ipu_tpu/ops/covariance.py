@@ -100,10 +100,27 @@ def ewa_project(t_view: jnp.ndarray, cov3d, view: jnp.ndarray,
     v11 = u10 * xy + u11 * yy + u12 * yz
     v12 = u10 * xz + u11 * yz + u12 * zz
 
-    a = v00 * u00 + v01 * u01 + v02 * u02 + lowpass
+    a0 = v00 * u00 + v01 * u01 + v02 * u02
     b = v00 * u10 + v01 * u11 + v02 * u12
-    c = v10 * u10 + v11 * u11 + v12 * u12 + lowpass
-    return a, b, c
+    c0 = v10 * u10 + v11 * u11 + v12 * u12
+    return a0 + lowpass, b, c0 + lowpass
+
+
+def aa_opacity_compensation(a, b, c, lowpass: float):
+    """Mip-splatting style antialiasing factor in (0, 1].
+
+    The +lowpass dilation (above) keeps every splat >= ~1px but ADDS
+    energy to sub-pixel splats (their peak alpha stays while their area
+    grows). Scaling opacity by sqrt(det(cov) / det(cov + lowpass)) —
+    computed here from the POST-dilation (a, b, c) — conserves each
+    splat's total energy, so far-away/shrunken gaussians fade instead of
+    shimmering (Yu et al., "Mip-Splatting", CVPR 2024; gsplat's
+    antialiased mode). Differentiable; ~1 for splats much bigger than a
+    pixel."""
+    det_after = a * c - b * b
+    det_before = (a - lowpass) * (c - lowpass) - b * b
+    ratio = jnp.maximum(det_before, 0.0) / jnp.maximum(det_after, 1e-12)
+    return jnp.sqrt(jnp.clip(ratio, 0.0, 1.0))
 
 
 def conic(a, b, c, eps: float = 1e-12):

@@ -62,6 +62,11 @@ def project_gaussians(model: GaussianModel, camera: Camera,
     opacity = model.opacities.astype(jnp.float32)
     if cfg.sigmoid_opacity:
         opacity = jax.nn.sigmoid(opacity)
+    if cfg.antialias:
+        # Energy-conserving lowpass (Mip-Splatting): sub-pixel splats
+        # fade with distance instead of brightening when dilated.
+        opacity = opacity * covariance.aa_opacity_compensation(
+            a, b, c, cfg.lowpass)
     # Alpha-aware footprint: the box only covers pixels whose alpha can
     # clear alpha_min (extents gradient-free — ceil kills the tangent, so
     # this adds no backward cost). lax.stop_gradient keeps the forward

@@ -65,6 +65,10 @@ class RasterConfig:
     # EWA low-pass filter added to the 2D covariance diagonal, reference
     # include/splat/ipu_geometry.hpp:377-378.
     lowpass: float = 0.3
+    # Antialiasing: scale opacity by sqrt(det(cov)/det(cov + lowpass)) so
+    # the lowpass dilation conserves each splat's energy instead of
+    # brightening sub-pixel splats (Mip-Splatting, Yu et al. CVPR 2024).
+    antialias: bool = False
     # Background color composited behind the splats.
     background: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     # Apply sigmoid to raw opacity (standard 3DGS). The reference feeds the

@@ -137,3 +137,17 @@ def test_distributed_render_with_tile_test():
     np.testing.assert_allclose(np.asarray(out.image),
                                np.asarray(ref.image), atol=1e-5)
     assert int(out.num_pairs) == int(ref.num_pairs)
+
+
+def test_decode_wide_unmasked_footprints():
+    # The nx field is 6 bits (max_tiles_per_axis <= 32) with the mask
+    # flag at bit 30: a 32-wide unmasked rectangle must decode row-major
+    # without bleeding into the flag.
+    x0, y0, nx = 100, 200, 32
+    geom = jnp.int32(x0 | (y0 << 12) | (nx << 24))
+    r = jnp.array([0, 31, 32, 32 * 17 + 5], jnp.int32)
+    tx, ty = binning._pair_tile_decode(
+        jnp.full((4,), geom), jnp.zeros((4,), jnp.int32),
+        jnp.zeros((4,), jnp.int32), r)
+    assert [int(v) for v in tx] == [100, 131, 100, 105]
+    assert [int(v) for v in ty] == [200, 200, 201, 217]

@@ -164,3 +164,59 @@ def test_sh_higher_degree_runs_and_differs_by_direction():
     c2 = np.asarray(sh.eval_sh(coeffs, d2, 3))
     assert c1.shape == (3, 3)
     assert not np.allclose(c1, c2)
+
+
+def test_aa_opacity_compensation():
+    from gaussian_splat_ipu_tpu.ops import covariance
+
+    lp = 0.3
+    # Huge splat: dilation negligible -> factor ~ 1.
+    big = covariance.aa_opacity_compensation(
+        jnp.array([100.0 + lp]), jnp.array([0.0]),
+        jnp.array([100.0 + lp]), lp)
+    assert 0.99 < float(big[0]) <= 1.0
+    # Sub-pixel splat (pre-dilation sigma^2 = 0.01): energy conservation
+    # sqrt(det0/det1) = 0.01 / sqrt((0.01+0.3)^2) ~ 0.032.
+    small = covariance.aa_opacity_compensation(
+        jnp.array([0.01 + lp]), jnp.array([0.0]),
+        jnp.array([0.01 + lp]), lp)
+    np.testing.assert_allclose(float(small[0]), 0.01 / (0.01 + lp),
+                               rtol=1e-5)
+    # Degenerate pre-dilation covariance clamps to 0, never NaN.
+    z = covariance.aa_opacity_compensation(
+        jnp.array([lp]), jnp.array([0.0]), jnp.array([lp]), lp)
+    assert float(z[0]) == 0.0
+
+
+def test_antialias_fades_subpixel_splats():
+    import dataclasses
+
+    from gaussian_splat_ipu_tpu.models.gaussians import GaussianModel
+    from gaussian_splat_ipu_tpu.models.camera import Camera
+    from gaussian_splat_ipu_tpu.render.pipeline import render_image
+    from gaussian_splat_ipu_tpu.utils.config import RasterConfig
+
+    # One tiny splat dead ahead: with antialias its dilated footprint
+    # must carry LESS total energy than the plain lowpass render.
+    model = GaussianModel.create(
+        means=np.array([[0.0, 0.0, 0.0]], np.float32),
+        log_scales=np.full((1, 3), -6.0, np.float32),   # ~sub-pixel
+        quats=np.array([[1.0, 0, 0, 0]], np.float32),
+        opacities=np.array([4.0], np.float32),
+        f_dc=np.array([[1.0, 1.0, 1.0]], np.float32))
+    cam = Camera.look_at([0.0, 0.0, 3.0], [0.0, 0.0, 0.0],
+                         [0.0, 1.0, 0.0], np.radians(50.0), 1.0)
+    cfg = RasterConfig(image_width=64, image_height=64,
+                       pair_capacity=1 << 10)
+    plain = np.asarray(render_image(model, cam, cfg, use_pallas=False))
+    aa = np.asarray(render_image(
+        model, cam, dataclasses.replace(cfg, antialias=True),
+        use_pallas=False))
+    assert plain[..., 3].sum() > 0.0
+    assert aa[..., 3].sum() < 0.25 * plain[..., 3].sum()
+
+    # Oracle consistency is automatic (opacity computed in projection):
+    from gaussian_splat_ipu_tpu.render.oracle import render_oracle
+    cfg_aa = dataclasses.replace(cfg, antialias=True)
+    ref = np.asarray(render_oracle(model, cam, cfg_aa))
+    np.testing.assert_allclose(aa, ref, atol=1e-6)
