@@ -74,6 +74,11 @@ def parse_args(argv=None):
                         "(antimatter15 format; u8-quantised)")
     p.add_argument("--distributed", action="store_true",
                    help="shard over all local devices (parallel/)")
+    p.add_argument("--view-batch", type=int, default=0,
+                   help="--distributed: ALSO data-parallelise over camera "
+                        "views on a 2D (view, shard) mesh — each step "
+                        "consumes this many views at once (device count "
+                        "must be divisible by it)")
     p.add_argument("--densify", action="store_true",
                    help="adaptive density control (split/clone/prune)")
     p.add_argument("--capacity", type=int, default=0,
@@ -215,6 +220,14 @@ def main(argv=None) -> int:
     tc = trainer.TrainConfig(ssim_weight=args.ssim_weight,
                              scene_extent=extent)
     use_dist = args.distributed and len(jax.devices()) > 1
+    if args.view_batch > 1 and (not use_dist or args.densify
+                                or multiproc):
+        log.warning("--view-batch needs --distributed without --densify "
+                    "in a single process; ignoring")
+        args.view_batch = 0
+    if args.view_batch > 1 and len(jax.devices()) % args.view_batch:
+        raise SystemExit("--view-batch must divide the device count "
+                         f"({len(jax.devices())})")
     dstate = None
 
     def ensure_sharded(m, mesh_):
@@ -271,10 +284,19 @@ def main(argv=None) -> int:
         from gaussian_splat_ipu_tpu.parallel import (distributed,
                                                      mesh as meshlib)
         if mesh is None:
-            mesh = meshlib.make_mesh()
+            if args.view_batch > 1:
+                # 2D (view, shard) mesh: camera-batch data parallelism on
+                # the outer axis, gaussian/tile-row sharding inner.
+                mesh = meshlib.make_mesh_2d(
+                    num_views=args.view_batch,
+                    num_shards=len(jax.devices()) // args.view_batch)
+            else:
+                mesh = meshlib.make_mesh()
         model = ensure_sharded(model, mesh)
         state = trainer.init_state(model, tc)
-        log.info("distributed over %d devices", len(jax.devices()))
+        log.info("distributed over %d devices%s", len(jax.devices()),
+                 f" (view batch {args.view_batch})"
+                 if args.view_batch > 1 else "")
     else:
         state = trainer.init_state(model, tc)
 
@@ -285,6 +307,18 @@ def main(argv=None) -> int:
     targets_stacked = jnp.stack(targets)
     cam_treedef = jax.tree_util.tree_structure(cameras[0])
     cam_leaves_stacked = jax.tree_util.tree_leaves(cams_stacked)
+
+    vb_groups = []
+    if args.view_batch > 1:
+        # Pre-stack camera/target groups (cycling to a batch multiple).
+        idxs = list(range(args.views))
+        idxs += idxs[:(-len(idxs)) % args.view_batch]
+        for g in range(0, len(idxs), args.view_batch):
+            sel = idxs[g:g + args.view_batch]
+            gc = jax.tree.map(lambda *xs: jnp.stack(xs),
+                              *[cameras[k] for k in sel])
+            gt = jnp.stack([targets[k] for k in sel])
+            vb_groups.append((gc, gt))
 
     def build_programs(acfg):
         """Jitted epoch/step programs for one active-SH config. Rebuilt
@@ -313,6 +347,9 @@ def main(argv=None) -> int:
                 return s, ds, ls
 
             progs["epoch_densify"] = epoch_densify
+        elif use_dist and args.view_batch > 1:
+            progs["vb_step"] = distributed.make_view_batch_train_step(
+                mesh, acfg, tc, pair_capacity=args.pair_capacity)
         elif use_dist:
             progs["step"] = distributed.make_sharded_train_step(
                 mesh, acfg, tc, pair_capacity=args.pair_capacity)
@@ -373,6 +410,7 @@ def main(argv=None) -> int:
 
     t0 = time.perf_counter()
     loss = None
+    vb_stats = None
     i = 0
     densify_open = True
     while i < args.steps:
@@ -426,6 +464,11 @@ def main(argv=None) -> int:
                     and i >= c.reset_opacity_every
                     and i <= min(args.steps - 500, c.densify_until_step)):
                 state = densify_lib.reset_opacity(state, dstate, c)
+        elif args.view_batch > 1:
+            g = (i // args.view_batch) % len(vb_groups)
+            gc, gt = vb_groups[g]
+            state, loss, vb_stats = progs["vb_step"](state, gc, gt)
+            i += args.view_batch
         elif not use_dist and args.steps - i >= args.views:
             state, losses_ep = progs["epoch"](state)
             loss = losses_ep[-1]
@@ -437,6 +480,12 @@ def main(argv=None) -> int:
         if (i // args.views) % 10 == 0 or i >= args.steps:
             log.info("step %d: loss %.5f", i, float(loss))
     jax.block_until_ready(state.params.means)
+    if vb_stats is not None:
+        drops = {k: int(v) for k, v in vb_stats.items()}
+        if any(drops.values()):
+            log.warning("view-batch drop counters (last step): %s — "
+                        "raise --pair-capacity / exchange capacity",
+                        drops)
     dt = time.perf_counter() - t0
     log.info("trained %d steps in %.1fs (%.2f it/s incl. dispatch)",
              args.steps, dt, args.steps / dt)

@@ -215,3 +215,22 @@ def test_train_cli_dataset_holdout_eval(tmp_path, capsys):
     # views 0,2 held out -> trained on 2, eval_psnr present and finite
     assert "eval_psnr=" in line
     assert np.isfinite(float(line.split("eval_psnr=")[1]))
+
+
+def test_train_cli_view_batch(tmp_path, capsys):
+    # --distributed --view-batch 2 on the 8-device mesh: the 2D
+    # (view, shard) data-parallel path through the CLI.
+    from gaussian_splat_ipu_tpu.app import train as train_app
+
+    scene = str(tmp_path / "scene.ply")
+    _write_scene(scene, n=64)
+    rc = train_app.main([
+        "--input", scene, "--width", "48", "--height", "64",
+        "--steps", "4", "--views", "3", "--mode", "self",
+        "--ssim-weight", "0.0", "--pair-capacity", str(1 << 11),
+        "--distributed", "--view-batch", "2", "--log-level", "off",
+    ])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert line.startswith("final_loss=")
+    assert np.isfinite(float(line.split()[0].split("=")[1]))
