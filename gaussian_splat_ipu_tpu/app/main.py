@@ -54,6 +54,9 @@ def parse_args(argv=None):
                    help="exact tile-ellipse coverage test: enumerate only "
                         "tiles a splat can actually light (fewer pairs, "
                         "identical image)")
+    p.add_argument("--antialias", action="store_true",
+                   help="energy-conserving lowpass (Mip-Splatting): "
+                        "sub-pixel splats fade instead of brightening")
     p.add_argument("--compile-cache", default="",
                    help="persistent XLA compile cache dir "
                         "(saveExe/loadExe parity)")
@@ -135,7 +138,8 @@ def main(argv=None) -> int:
 
     cfg = RasterConfig(image_width=args.width, image_height=args.height,
                        pair_capacity=args.pair_capacity,
-                       exact_tile_test=args.exact_tiles)
+                       exact_tile_test=args.exact_tiles,
+                       antialias=args.antialias)
     runtime_cfg = RuntimeConfig(
         compile_cache_dir=args.compile_cache,
         use_cpu_model=(args.device != "tpu"))

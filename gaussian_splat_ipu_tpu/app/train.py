@@ -65,6 +65,8 @@ def parse_args(argv=None):
     p.add_argument("--exact-tiles", action="store_true",
                    help="exact tile-ellipse coverage test (fewer pairs, "
                         "identical image)")
+    p.add_argument("--antialias", action="store_true",
+                   help="energy-conserving lowpass (Mip-Splatting)")
     p.add_argument("--checkpoint", default="",
                    help="write final params + opt state here (.npz)")
     p.add_argument("--export-ply", default="",
@@ -163,7 +165,8 @@ def main(argv=None) -> int:
         args.width, args.height = fs.width, fs.height
         cfg = RasterConfig(image_width=fs.width, image_height=fs.height,
                            pair_capacity=args.pair_capacity,
-                           exact_tile_test=args.exact_tiles)
+                           exact_tile_test=args.exact_tiles,
+                           antialias=args.antialias)
         origins = np.stack([np.asarray(c.cam_origin) for c in cameras])
         center = origins.mean(0)
         extent = float(np.linalg.norm(origins - center, axis=1).max())
@@ -184,7 +187,8 @@ def main(argv=None) -> int:
         cfg = RasterConfig(image_width=args.width,
                            image_height=args.height,
                            pair_capacity=args.pair_capacity,
-                           exact_tile_test=args.exact_tiles)
+                           exact_tile_test=args.exact_tiles,
+                           antialias=args.antialias)
         fov = float(np.radians(40.0))
         aspect = args.width / args.height
         extent = float(np.linalg.norm(scene.bb_max - scene.bb_min) * 0.5)
