@@ -72,3 +72,42 @@ def render_image(model: GaussianModel, camera: Camera,
                  cfg: RasterConfig, use_pallas: bool = True) -> jnp.ndarray:
     """(H, W, 4) image only — the differentiable entry point for training."""
     return render(model, camera, cfg, use_pallas).image
+
+
+def render_depth(model: GaussianModel, camera: Camera, cfg: RasterConfig,
+                 use_pallas: bool = True):
+    """Alpha-composited depth map through the SAME tiled pipeline.
+
+    Rides the colour channels: each splat's "colour" becomes
+    (depth, depth^2, 0), so the compositor accumulates the first two
+    depth moments with the usual alpha*T weights. Returns
+    (mean_depth, depth_var, alpha), each (H, W):
+
+        mean = E[d | hit],  var = E[d^2 | hit] - mean^2
+
+    with pixels where alpha ~ 0 returning 0. Standard 3DGS tooling the
+    reference never had (its framebuffer is colour-only,
+    /root/reference/src/splat/ipu_rasteriser.cpp:393-405); useful for
+    mesh extraction, depth supervision, and debugging. Differentiable,
+    jit with static (2, 3).
+    """
+    import dataclasses
+    if cfg.background != (0.0, 0.0, 0.0):
+        cfg = dataclasses.replace(cfg, background=(0.0, 0.0, 0.0))
+    splats = project_gaussians(model, camera, cfg)
+    d = splats.depth
+    depth_splats = splats._replace(
+        color=jnp.stack([d, d * d, jnp.zeros_like(d)], axis=-1))
+    binned = binning.bin_splats(depth_splats, cfg)
+    if use_pallas:
+        from gaussian_splat_ipu_tpu.render.kernels import rasterize
+        tiles = rasterize.rasterize_tiles(binned, cfg)
+    else:
+        tiles = tile_raster.rasterize_tiles_jnp(binned, cfg)
+    img = _untile_crop(tiles, cfg)
+    alpha = img[..., 3]
+    safe = jnp.maximum(alpha, 1e-8)
+    mean = img[..., 0] / safe
+    var = jnp.maximum(img[..., 1] / safe - mean * mean, 0.0)
+    hit = alpha > 1e-6
+    return (jnp.where(hit, mean, 0.0), jnp.where(hit, var, 0.0), alpha)

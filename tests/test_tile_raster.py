@@ -143,3 +143,55 @@ def test_alpha_aware_extents_shrink_dim_splats():
     # uncapped: opaque reaches ~3.33 sigma
     rx0, _ = covariance.splat_extent(a, c, op, max_sigma=0.0)
     assert 16.0 <= float(rx0[0]) <= 17.0
+
+
+def test_render_depth_single_and_mixture():
+    import dataclasses
+
+    from gaussian_splat_ipu_tpu.models.gaussians import GaussianModel
+    from gaussian_splat_ipu_tpu.models.camera import Camera
+    from gaussian_splat_ipu_tpu.render.pipeline import render_depth
+
+    # One opaque splat at z = -2 seen from z = +3: view depth = 5.
+    def one(z, op=8.0):
+        return GaussianModel.create(
+            means=np.array([[0.0, 0.0, z]], np.float32),
+            log_scales=np.full((1, 3), -2.0, np.float32),
+            quats=np.array([[1.0, 0, 0, 0]], np.float32),
+            opacities=np.array([op], np.float32),
+            f_dc=np.ones((1, 3), np.float32))
+
+    cam = Camera.look_at([0.0, 0.0, 3.0], [0.0, 0.0, 0.0],
+                         [0.0, 1.0, 0.0], np.radians(50.0), 1.0)
+    cfg = RasterConfig(image_width=64, image_height=64, chunk_size=32,
+                       pair_capacity=1 << 10)
+    mean, var, alpha = render_depth(one(-2.0), cam, cfg, use_pallas=False)
+    cy, cx = 32, 32
+    assert float(alpha[cy, cx]) > 0.9
+    np.testing.assert_allclose(float(mean[cy, cx]), 5.0, rtol=1e-5)
+    assert float(var[cy, cx]) < 1e-4
+    # Uncovered pixels report zero depth.
+    assert float(mean[0, 0]) == 0.0
+
+    # Two half-transparent splats at depths 2 and 5: the mean lies
+    # between them and the variance is positive.
+    both = GaussianModel(
+        means=jnp.concatenate([one(1.0).means, one(-2.0).means]),
+        log_scales=jnp.concatenate([one(1.0).log_scales] * 2),
+        quats=jnp.concatenate([one(1.0).quats] * 2),
+        opacities=jnp.zeros((2,), jnp.float32),  # sigmoid(0) = 0.5
+        sh=jnp.concatenate([one(1.0).sh] * 2))
+    mean, var, alpha = render_depth(both, cam, cfg, use_pallas=False)
+    assert 2.0 < float(mean[cy, cx]) < 5.0
+    assert float(var[cy, cx]) > 0.5
+
+    # Pallas interpret path agrees with the jnp spec.
+    m2, v2, a2 = render_depth(both, cam, cfg, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(mean), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(var), atol=1e-4)
+
+    # A nonzero configured background must not leak into depth.
+    cfg_bg = dataclasses.replace(cfg, background=(1.0, 1.0, 1.0))
+    m3, _, _ = render_depth(both, cam, cfg_bg, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(m3), np.asarray(mean),
+                               atol=1e-6)
