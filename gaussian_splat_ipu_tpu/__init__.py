@@ -30,6 +30,7 @@ _EXPORTS = {
     "RuntimeConfig": "gaussian_splat_ipu_tpu.utils.config",
     "render": "gaussian_splat_ipu_tpu.render.pipeline",
     "render_image": "gaussian_splat_ipu_tpu.render.pipeline",
+    "render_depth": "gaussian_splat_ipu_tpu.render.pipeline",
     "load_scene": "gaussian_splat_ipu_tpu.io.scene",
     "Scene": "gaussian_splat_ipu_tpu.io.scene",
 }
