@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="composite both render and RGBA targets over this")
     p.add_argument("--dump", default="",
                    help="directory for per-view rendered PNGs")
+    p.add_argument("--dump-depth", action="store_true",
+                   help="with --dump: also write normalised depth maps "
+                        "(render_depth: alpha-composited mean depth)")
     p.add_argument("--device", default="pallas",
                    choices=["pallas", "jnp", "points"],
                    help="render path (pallas = compiled TPU kernels)")
@@ -137,6 +140,16 @@ def main(argv=None) -> int:
         if args.dump:
             image_util.write_png(
                 os.path.join(args.dump, f"eval_{i:05d}.png"), pred)
+            if args.dump_depth and args.device != "points":
+                mean_d, _, a = jax.jit(
+                    pipeline.render_depth, static_argnums=(2, 3))(
+                    model, fs.cameras[i], cfg, args.device == "pallas")
+                d = np.asarray(mean_d)
+                hi_d = np.percentile(d[np.asarray(a) > 0.5], 99.0) \
+                    if float(np.asarray(a).max()) > 0.5 else 1.0
+                image_util.write_png(
+                    os.path.join(args.dump, f"depth_{i:05d}.png"),
+                    np.clip(d / max(hi_d, 1e-6), 0.0, 1.0))
 
     mean_psnr = float(np.mean([r[1] for r in rows]))
     mean_ssim = float(np.mean([r[2] for r in rows]))

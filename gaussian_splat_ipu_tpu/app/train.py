@@ -68,7 +68,12 @@ def parse_args(argv=None):
     p.add_argument("--antialias", action="store_true",
                    help="energy-conserving lowpass (Mip-Splatting)")
     p.add_argument("--checkpoint", default="",
-                   help="write final params + opt state here (.npz)")
+                   help="write final params + opt state here (.npz); "
+                        "with --densify the density-control state is "
+                        "included")
+    p.add_argument("--resume", default="",
+                   help="restore a --checkpoint .npz (same CLI shape "
+                        "flags) and continue training from it")
     p.add_argument("--export-ply", default="",
                    help="write trained scene as standard 3DGS PLY")
     p.add_argument("--export-splat", default="",
@@ -381,6 +386,30 @@ def main(argv=None) -> int:
         return (cfg if active_sh < 0 else
                 dataclasses.replace(cfg, active_sh_degree=active_sh))
 
+    if args.resume:
+        if multiproc:
+            raise SystemExit("--resume is single-process only (restore "
+                             "then re-shard the file across hosts "
+                             "manually via load_scene_sharded)")
+        if args.densify:
+            state, dstate = checkpoint.restore_checkpoint(
+                args.resume, (state, dstate))
+        else:
+            state = checkpoint.restore_checkpoint(args.resume, state)
+        if use_dist:
+            from gaussian_splat_ipu_tpu.parallel import mesh as meshlib
+            d_all = len(jax.devices())
+            if state.params.num_gaussians % d_all:
+                # shard_model would pad params past the optimizer rows.
+                raise SystemExit(
+                    "--resume --distributed needs a checkpoint whose "
+                    f"gaussian count divides the {d_all}-device mesh")
+            state = trainer.TrainState(
+                params=meshlib.shard_model(state.params, mesh),
+                opt_state=state.opt_state, step=state.step)
+        log.info("resumed from %s at step %d", args.resume,
+                 int(state.step))
+
     progs = build_programs(active_cfg())
 
     if args.densify:
@@ -534,8 +563,9 @@ def main(argv=None) -> int:
         state_h = trainer.TrainState(params=host_tree(state.params),
                                      opt_state=host_tree(state.opt_state),
                                      step=state.step)
+        payload = (state_h, host_tree(dstate)) if args.densify else state_h
         if multihost.is_primary():
-            checkpoint.save_checkpoint(args.checkpoint, state_h)
+            checkpoint.save_checkpoint(args.checkpoint, payload)
             log.info("checkpoint -> %s", args.checkpoint)
     if args.export_ply:
         params = state.params

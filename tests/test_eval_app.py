@@ -66,7 +66,8 @@ def test_eval_cli_end_to_end(tmp_path, capsys):
     rc = eval_app.main([
         "--input", ply, "--dataset", root, "--split", "all",
         "--device", "jnp", "--pair-capacity", str(1 << 12),
-        "--dump", str(tmp_path / "out"), "--log-level", "off",
+        "--dump", str(tmp_path / "out"), "--dump-depth",
+        "--log-level", "off",
     ])
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
@@ -76,6 +77,7 @@ def test_eval_cli_end_to_end(tmp_path, capsys):
     assert summary["mean_psnr"] > 40.0
     assert summary["mean_ssim"] > 0.98
     assert os.path.exists(tmp_path / "out" / "eval_00003.png")
+    assert os.path.exists(tmp_path / "out" / "depth_00003.png")
 
 
 def test_eval_cli_holdout_split(tmp_path, capsys):

@@ -234,3 +234,59 @@ def test_train_cli_view_batch(tmp_path, capsys):
     line = capsys.readouterr().out.strip().splitlines()[-1]
     assert line.startswith("final_loss=")
     assert np.isfinite(float(line.split()[0].split("=")[1]))
+
+
+def test_train_cli_checkpoint_resume(tmp_path, capsys):
+    from gaussian_splat_ipu_tpu.app import train as train_app
+
+    scene = str(tmp_path / "scene.ply")
+    _write_scene(scene, n=48)
+    ckpt = str(tmp_path / "state.npz")
+    base = [
+        "--input", scene, "--width", "48", "--height", "48",
+        "--views", "2", "--mode", "self", "--ssim-weight", "0.0",
+        "--pair-capacity", str(1 << 11), "--log-level", "off",
+    ]
+    rc = train_app.main(base + ["--steps", "4", "--checkpoint", ckpt])
+    assert rc == 0
+    loss1 = float(capsys.readouterr().out.strip().splitlines()[-1]
+                  .split()[0].split("=")[1])
+
+    rc = train_app.main(base + ["--steps", "2", "--resume", ckpt,
+                                "--checkpoint", ckpt])
+    assert rc == 0
+    loss2 = float(capsys.readouterr().out.strip().splitlines()[-1]
+                  .split()[0].split("=")[1])
+    assert np.isfinite(loss2)
+    # Resumed run continued from the trained state (self mode: loss
+    # stays in the converged regime, not the fresh-start one).
+    assert loss2 <= max(1.5 * loss1, 0.05)
+    # Step counter persisted through save -> resume -> save.
+    import numpy
+    leaves = numpy.load(ckpt)
+    steps = [leaves[k] for k in leaves.files
+             if leaves[k].shape == () and leaves[k].dtype.kind in "iu"]
+    assert any(int(sv) >= 6 for sv in steps)
+
+
+def test_train_cli_densify_checkpoint_resume(tmp_path, capsys):
+    from gaussian_splat_ipu_tpu.app import train as train_app
+
+    scene = str(tmp_path / "scene.ply")
+    _write_scene(scene, n=48)
+    ckpt = str(tmp_path / "state.npz")
+    base = [
+        "--input", scene, "--width", "48", "--height", "48",
+        "--views", "2", "--mode", "distill", "--init-gaussians", "24",
+        "--ssim-weight", "0.0", "--pair-capacity", str(1 << 11),
+        "--densify", "--capacity", "64", "--densify-from", "2",
+        "--densify-every", "2", "--densify-grad-threshold", "1e-7",
+        "--log-level", "off",
+    ]
+    rc = train_app.main(base + ["--steps", "4", "--checkpoint", ckpt])
+    assert rc == 0
+    capsys.readouterr()
+    rc = train_app.main(base + ["--steps", "2", "--resume", ckpt])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert np.isfinite(float(line.split()[0].split("=")[1]))
