@@ -94,8 +94,15 @@ def main(argv=None) -> int:
         if os.path.exists(test_json) and args.split != "train":
             ds_path = test_json
             args.split = "all"
-    fs = dataset_lib.load_transforms(ds_path, downscale=args.downscale,
-                                     max_frames=args.max_frames)
+    from gaussian_splat_ipu_tpu.io import colmap as colmap_lib
+    if os.path.isdir(ds_path) and colmap_lib.is_colmap_dir(ds_path):
+        fs, _, _ = colmap_lib.load_colmap(ds_path,
+                                          downscale=args.downscale,
+                                          max_frames=args.max_frames)
+    else:
+        fs = dataset_lib.load_transforms(ds_path,
+                                         downscale=args.downscale,
+                                         max_frames=args.max_frames)
     idxs = select_split(len(fs), args.split, args.holdout_every)
     if not idxs:
         raise SystemExit("split selected zero views")

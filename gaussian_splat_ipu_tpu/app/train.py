@@ -23,6 +23,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import logging
+import os
 import time
 
 import numpy as np
@@ -135,12 +136,19 @@ def main(argv=None) -> int:
     render_jit = jax.jit(render_image, static_argnums=(2, 3))
     holdout_cams, holdout_targets = [], []
     if args.dataset:
-        # Real posed images: cameras + targets come from the dataset, the
-        # model starts from random init inside the camera bounding sphere
-        # (standard 3DGS spatial_lr_scale convention).
+        # Real posed images: cameras + targets come from the dataset; the
+        # model seeds from the COLMAP SfM points when present (standard
+        # 3DGS init), else random init inside the camera bounding sphere.
+        from gaussian_splat_ipu_tpu.io import colmap as colmap_lib
         from gaussian_splat_ipu_tpu.io import dataset as dataset_lib
-        fs = dataset_lib.load_transforms(args.dataset,
-                                         downscale=args.downscale)
+        sfm_xyz = sfm_rgb = None
+        if (os.path.isdir(args.dataset)
+                and colmap_lib.is_colmap_dir(args.dataset)):
+            fs, sfm_xyz, sfm_rgb = colmap_lib.load_colmap(
+                args.dataset, downscale=args.downscale)
+        else:
+            fs = dataset_lib.load_transforms(args.dataset,
+                                             downscale=args.downscale)
         def as_target(im):
             """RGBA datasets (NeRF-synthetic) carry straight alpha; the
             renderer outputs premultiplied-over-black RGB, so composite
@@ -176,9 +184,13 @@ def main(argv=None) -> int:
         center = origins.mean(0)
         extent = float(np.linalg.norm(origins - center, axis=1).max())
         extent = max(extent, 1e-3)
-        n = args.init_gaussians or 20_000
-        model = GaussianModel.random(jax.random.PRNGKey(0), n,
-                                     extent=0.5 * extent)
+        if sfm_xyz is not None and sfm_xyz.shape[0] > 0:
+            model = GaussianModel.from_points(sfm_xyz, sfm_rgb)
+            log.info("init from %d COLMAP SfM points", sfm_xyz.shape[0])
+        else:
+            n = args.init_gaussians or 20_000
+            model = GaussianModel.random(jax.random.PRNGKey(0), n,
+                                         extent=0.5 * extent)
         log.info("dataset %s: %d views at %dx%d, camera extent %.2f",
                  args.dataset, len(cameras), fs.width, fs.height, extent)
     else:

@@ -118,6 +118,44 @@ class GaussianModel:
         )
 
     @classmethod
+    def from_points(cls, xyz: np.ndarray, rgb: np.ndarray,
+                    sh_degree: int = 0, opacity: float = 0.1,
+                    knn: int = 3) -> "GaussianModel":
+        """Standard 3DGS initialisation from an SfM point cloud
+        (COLMAP points3D): one isotropic gaussian per point, scale set to
+        the mean distance of the `knn` nearest neighbours (clamped away
+        from zero), colour as the SH dc band, opacity at a uniform
+        post-sigmoid `opacity`.
+
+        The knn is exact and MXU-shaped: squared distances expand to
+        |a|^2 + |b|^2 - 2 a.b, so the dominant cost is one (N, 3) x (3, N)
+        matmul evaluated in row chunks (O(N^2) flops, O(N*chunk) memory) —
+        the TPU-native replacement for the CUDA simple-knn used by
+        mainstream 3DGS trainers.
+        """
+        from gaussian_splat_ipu_tpu.ops.sh import SH_C0
+
+        xyz = np.asarray(xyz, np.float32)
+        rgb = np.asarray(rgb, np.float32)
+        n = xyz.shape[0]
+        if n == 0:
+            raise ValueError("from_points: empty point cloud")
+        dist = mean_knn_distance(jnp.asarray(xyz), k=knn)
+        dist = jnp.maximum(dist, 1e-7)
+        k = (sh_degree + 1) ** 2
+        sh = np.zeros((n, k, 3), np.float32)
+        sh[:, 0] = (rgb - 0.5) / SH_C0     # invert colour_from_dc
+        p = float(np.clip(opacity, 1e-4, 1.0 - 1e-4))
+        return cls(
+            means=jnp.asarray(xyz),
+            log_scales=jnp.tile(jnp.log(dist)[:, None], (1, 3)),
+            quats=jnp.tile(jnp.array([[1., 0., 0., 0.]], jnp.float32),
+                           (n, 1)),
+            opacities=jnp.full((n,), np.log(p / (1.0 - p)), jnp.float32),
+            sh=jnp.asarray(sh),
+        )
+
+    @classmethod
     def random(cls, key, n: int, sh_degree: int = 0,
                extent: float = 1.0) -> "GaussianModel":
         """Random synthetic scene (benchmarks / tests)."""
@@ -132,6 +170,39 @@ class GaussianModel:
             opacities=jax.random.uniform(k4, (n,), jnp.float32, -2.0, 4.0),
             sh=jax.random.uniform(k5, (n, kk, 3), jnp.float32, -1.0, 1.0),
         )
+
+
+def mean_knn_distance(xyz: jnp.ndarray, k: int = 3,
+                      chunk: int = 1024) -> jnp.ndarray:
+    """Mean distance to the k nearest neighbours of every point, (N,) f32.
+
+    Exact, chunked, matmul-dominated: for each row chunk the (chunk, N)
+    squared-distance matrix is |a|^2 + |b|^2 - 2 a.b (one MXU matmul), and
+    top-(k+1) smallest selects self + k neighbours. Runs fine on CPU for
+    test-sized clouds and at MXU speed on TPU for SfM-scale ones.
+    """
+    n = xyz.shape[0]
+    k_eff = min(k, max(n - 1, 1))
+    pad = (-n) % chunk
+    xp = jnp.pad(xyz, ((0, pad), (0, 0)))
+    sq = jnp.sum(xp * xp, axis=-1)                       # (Np,)
+    rows = xp.reshape(-1, chunk, 3)
+    row_sq = sq.reshape(-1, chunk)
+
+    def one_chunk(args):
+        r, rsq = args
+        d2 = (rsq[:, None] + sq[None, :]
+              - 2.0 * jnp.dot(r, xp.T, preferred_element_type=jnp.float32))
+        # top_k of negated distances = k+1 smallest (self included at ~0);
+        # padded points sit at the origin pad-block — mask them out.
+        if pad:
+            d2 = d2.at[:, n:].set(jnp.inf)
+        neg, _ = jax.lax.top_k(-d2, k_eff + 1)
+        d2k = jnp.maximum(-neg[:, 1:], 0.0)              # drop self
+        return jnp.mean(jnp.sqrt(d2k), axis=-1)
+
+    out = jax.lax.map(one_chunk, (rows, row_sq))
+    return out.reshape(-1)[:n]
 
 
 def center_and_flip(points: np.ndarray) -> np.ndarray:
