@@ -62,6 +62,14 @@ def parse_args(argv=None):
                    help="progressive SH schedule: activate one more band "
                         "every N steps (3DGS uses 1000; 0 = all bands "
                         "from the start). Each bump recompiles once.")
+    p.add_argument("--shuffle", action="store_true",
+                   help="visit training views in a fresh random order "
+                        "each epoch (standard 3DGS camera sampling); "
+                        "ignored with --view-batch")
+    p.add_argument("--background", choices=["black", "white"],
+                   default="black",
+                   help="render/composite background (standard 3DGS "
+                        "trains NeRF-synthetic over white)")
     p.add_argument("--pair-capacity", type=int, default=1 << 18)
     p.add_argument("--exact-tiles", action="store_true",
                    help="exact tile-ellipse coverage test (fewer pairs, "
@@ -149,14 +157,16 @@ def main(argv=None) -> int:
         else:
             fs = dataset_lib.load_transforms(args.dataset,
                                              downscale=args.downscale)
+        bg = 1.0 if args.background == "white" else 0.0
+
         def as_target(im):
             """RGBA datasets (NeRF-synthetic) carry straight alpha; the
-            renderer outputs premultiplied-over-black RGB, so composite
-            the target over the same (black) background before the loss
-            / PSNR compares the RGB channels (eval.py does the same)."""
+            renderer composites over cfg.background, so flatten the
+            target over the SAME background before the loss / PSNR
+            compares the RGB channels (eval.py does the same)."""
             im = np.asarray(im, np.float32)
             if im.shape[-1] == 4:
-                im = im[..., :3] * im[..., 3:4]
+                im = im[..., :3] * im[..., 3:4] + bg * (1.0 - im[..., 3:4])
             return im
 
         holdout_cams, holdout_targets = [], []
@@ -179,7 +189,8 @@ def main(argv=None) -> int:
         cfg = RasterConfig(image_width=fs.width, image_height=fs.height,
                            pair_capacity=args.pair_capacity,
                            exact_tile_test=args.exact_tiles,
-                           antialias=args.antialias)
+                           antialias=args.antialias,
+                           background=(bg, bg, bg))
         origins = np.stack([np.asarray(c.cam_origin) for c in cameras])
         center = origins.mean(0)
         extent = float(np.linalg.norm(origins - center, axis=1).max())
@@ -201,11 +212,13 @@ def main(argv=None) -> int:
             scene = multihost.load_scene_sharded(args.input, mesh)
         else:
             scene = load_scene(args.input)
+        bg = 1.0 if args.background == "white" else 0.0
         cfg = RasterConfig(image_width=args.width,
                            image_height=args.height,
                            pair_capacity=args.pair_capacity,
                            exact_tile_test=args.exact_tiles,
-                           antialias=args.antialias)
+                           antialias=args.antialias,
+                           background=(bg, bg, bg))
         fov = float(np.radians(40.0))
         aspect = args.width / args.height
         extent = float(np.linalg.norm(scene.bb_max - scene.bb_min) * 0.5)
@@ -354,7 +367,7 @@ def main(argv=None) -> int:
                                                        jit=False)
 
             @jax.jit
-            def epoch_densify(state, dstate):
+            def epoch_densify(state, dstate, order):
                 def body(carry, ct):
                     s, ds = carry
                     cam_leaves, tgt = ct
@@ -364,7 +377,8 @@ def main(argv=None) -> int:
                     return (s, ds), loss
                 (s, ds), ls = jax.lax.scan(
                     body, (state, dstate),
-                    (cam_leaves_stacked, targets_stacked))
+                    ([x[order] for x in cam_leaves_stacked],
+                     targets_stacked[order]))
                 return s, ds, ls
 
             progs["epoch_densify"] = epoch_densify
@@ -381,7 +395,7 @@ def main(argv=None) -> int:
                 donate_argnums=(0,))
 
             @jax.jit
-            def epoch(state):
+            def epoch(state, order):
                 def body(s, ct):
                     cam_leaves, tgt = ct
                     cam = jax.tree_util.tree_unflatten(cam_treedef,
@@ -389,7 +403,8 @@ def main(argv=None) -> int:
                     return trainer.train_step(s, cam, tgt, acfg, tc, True)
                 return jax.lax.scan(
                     body, state,
-                    (cam_leaves_stacked, targets_stacked))
+                    ([x[order] for x in cam_leaves_stacked],
+                     targets_stacked[order]))
 
             progs["epoch"] = epoch
         return progs
@@ -458,6 +473,15 @@ def main(argv=None) -> int:
     vb_stats = None
     i = 0
     densify_open = True
+    order_rng = np.random.default_rng(0xC0FFEE)
+
+    def view_order():
+        """Per-epoch visit order (fresh permutation under --shuffle)."""
+        if args.shuffle:
+            return jnp.asarray(order_rng.permutation(args.views), jnp.int32)
+        return jnp.arange(args.views, dtype=jnp.int32)
+
+    step_order = list(range(args.views))
     while i < args.steps:
         if (args.sh_step_every > 0 and active_sh < full_sh_degree
                 and i // args.sh_step_every > active_sh):
@@ -466,8 +490,8 @@ def main(argv=None) -> int:
             log.info("SH schedule: active degree -> %d at step %d",
                      active_sh, i)
         if args.densify:
-            state, dstate, losses_ep = progs["epoch_densify"](state,
-                                                              dstate)
+            state, dstate, losses_ep = progs["epoch_densify"](
+                state, dstate, view_order())
             loss = losses_ep[-1]
             i += args.views
             c = dcfg
@@ -515,11 +539,14 @@ def main(argv=None) -> int:
             state, loss, vb_stats = progs["vb_step"](state, gc, gt)
             i += args.view_batch
         elif not use_dist and args.steps - i >= args.views:
-            state, losses_ep = progs["epoch"](state)
+            state, losses_ep = progs["epoch"](state, view_order())
             loss = losses_ep[-1]
             i += args.views
         else:
             k = i % args.views
+            if k == 0 and args.shuffle:
+                order_rng.shuffle(step_order)
+            k = step_order[k]
             state, loss = progs["step"](state, cameras[k], targets[k])
             i += 1
         if (i // args.views) % 10 == 0 or i >= args.steps:

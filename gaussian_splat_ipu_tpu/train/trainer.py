@@ -34,6 +34,9 @@ class TrainConfig:
     lr_quats: float = 1e-3
     lr_opacities: float = 5e-2
     lr_sh: float = 2.5e-3
+    # Higher-order SH bands step at lr_sh * this (standard 3DGS trains
+    # f_rest at 1/20 of the f_dc rate).
+    sh_rest_lr_scale: float = 1.0 / 20.0
     ssim_weight: float = 0.2
     # Scene extent multiplies the means learning rate (3DGS convention:
     # position steps scale with scene size).
@@ -57,6 +60,23 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     def adam(lr):
         return optax.adam(lr, b1=0.9, b2=0.999, eps=cfg.adam_eps)
 
+    def scale_sh_rest(s: float) -> optax.GradientTransformation:
+        """Post-Adam, scale the update of SH bands >= 1 by s (the f_rest
+        vs f_dc rate split): update shape is (N, K, 3), band axis 1."""
+        def scale_leaf(u):
+            k = u.shape[1]
+            row = jnp.concatenate([jnp.ones((1,), u.dtype),
+                                   jnp.full((k - 1,), s, u.dtype)])
+            return u * row[None, :, None]
+
+        def update(updates, state, params=None):
+            del params
+            # multi_transform hands the full (masked) pytree; map over the
+            # real leaves (each an (N, K, 3) sh array).
+            return jax.tree.map(scale_leaf, updates), state
+        return optax.GradientTransformation(
+            lambda params: optax.EmptyState(), update)
+
     labels = GaussianModel(means="means", log_scales="log_scales",
                            quats="quats", opacities="opacities", sh="sh")
     return optax.multi_transform(
@@ -65,7 +85,8 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
             "log_scales": adam(cfg.lr_log_scales),
             "quats": adam(cfg.lr_quats),
             "opacities": adam(cfg.lr_opacities),
-            "sh": adam(cfg.lr_sh),
+            "sh": optax.chain(adam(cfg.lr_sh),
+                              scale_sh_rest(cfg.sh_rest_lr_scale)),
         },
         labels,
     )

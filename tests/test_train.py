@@ -103,3 +103,22 @@ class TestTrainStep:
                                        num_steps=3, use_pallas=False)
         assert len(history) == 3
         assert trained.num_gaussians == model.num_gaussians
+
+
+def test_sh_rest_lr_scale():
+    """Higher-order SH bands step at lr_sh * sh_rest_lr_scale (the 3DGS
+    f_rest/20 convention); the dc band at lr_sh."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaussian_splat_ipu_tpu.models.gaussians import GaussianModel
+    from gaussian_splat_ipu_tpu.train import trainer
+
+    m = GaussianModel.random(jax.random.PRNGKey(0), 16, sh_degree=2)
+    cfg = trainer.TrainConfig()
+    tx = trainer.make_optimizer(cfg)
+    g = jax.tree.map(jnp.ones_like, m)
+    upd, _ = tx.update(g, tx.init(m), m)
+    u = np.asarray(upd.sh)
+    ratio = np.abs(u[:, 1:]).mean() / np.abs(u[:, 0]).mean()
+    np.testing.assert_allclose(ratio, cfg.sh_rest_lr_scale, rtol=1e-4)

@@ -290,3 +290,40 @@ def test_train_cli_densify_checkpoint_resume(tmp_path, capsys):
     assert rc == 0
     line = capsys.readouterr().out.strip().splitlines()[-1]
     assert np.isfinite(float(line.split()[0].split("=")[1]))
+
+
+def test_train_cli_colmap_dataset_white_bg(tmp_path, capsys):
+    """COLMAP dir auto-detection: seeds from SfM points and trains
+    against white-composited targets (--background white)."""
+    from gaussian_splat_ipu_tpu.app import train as train_app
+    from tests.test_colmap import _make_dataset
+
+    root, _, _ = _make_dataset(str(tmp_path / "cap"), binary=True,
+                               w=32, h=32)
+    rc = train_app.main([
+        "--dataset", root, "--steps", "2", "--ssim-weight", "0.0",
+        "--background", "white",
+        "--pair-capacity", str(1 << 10), "--log-level", "off",
+    ])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert line.startswith("final_loss=")
+    assert np.isfinite(float(line.split()[0].split("=")[1]))
+
+
+def test_train_cli_shuffle(tmp_path, capsys):
+    """--shuffle permutes the per-epoch view order; training still
+    converges to a finite loss with the same program shapes."""
+    from gaussian_splat_ipu_tpu.app import train as train_app
+
+    ply = str(tmp_path / "s.ply")
+    _write_scene(ply)
+    rc = train_app.main([
+        "--input", ply, "--steps", "8", "--views", "4",
+        "--width", "32", "--height", "32", "--mode", "self",
+        "--ssim-weight", "0.0", "--shuffle",
+        "--pair-capacity", str(1 << 10), "--log-level", "off",
+    ])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert np.isfinite(float(line.split()[0].split("=")[1]))
