@@ -62,6 +62,11 @@ def parse_args(argv=None):
                    help="progressive SH schedule: activate one more band "
                         "every N steps (3DGS uses 1000; 0 = all bands "
                         "from the start). Each bump recompiles once.")
+    p.add_argument("--pose-opt", type=float, default=0.0, metavar="LR",
+                   help="jointly refine per-view camera poses (SE(3) "
+                        "tangent deltas at this Adam LR; 5e-4 is a "
+                        "sensible start). Single-device, non-densify "
+                        "paths only")
     p.add_argument("--shuffle", action="store_true",
                    help="visit training views in a fresh random order "
                         "each epoch (standard 3DGS camera sampling); "
@@ -263,6 +268,16 @@ def main(argv=None) -> int:
         raise SystemExit("--view-batch must divide the device count "
                          f"({len(jax.devices())})")
     dstate = None
+    pstate = None
+    if args.pose_opt > 0 and (args.densify or use_dist or multiproc):
+        log.warning("--pose-opt needs the single-device non-densify "
+                    "path; ignoring")
+        args.pose_opt = 0.0
+    if args.pose_opt > 0:
+        from gaussian_splat_ipu_tpu.train import pose_opt as pose_lib
+        pstate = pose_lib.init_pose_state(args.views, args.pose_opt)
+        log.info("pose refinement on: %d views, lr %g", args.views,
+                 args.pose_opt)
 
     def ensure_sharded(m, mesh_):
         from gaussian_splat_ipu_tpu.parallel import mesh as meshlib
@@ -388,6 +403,29 @@ def main(argv=None) -> int:
         elif use_dist:
             progs["step"] = distributed.make_sharded_train_step(
                 mesh, acfg, tc, pair_capacity=args.pair_capacity)
+        elif args.pose_opt > 0:
+            from gaussian_splat_ipu_tpu.train import pose_opt as pose_lib
+
+            @jax.jit
+            def epoch_pose(state, pstate, order):
+                def body(carry, ct):
+                    s, ps = carry
+                    k, cam_leaves, tgt = ct
+                    cam = jax.tree_util.tree_unflatten(cam_treedef,
+                                                       cam_leaves)
+                    s, ps, loss = pose_lib.joint_step(
+                        s, ps, k, cam, tgt, acfg, tc, args.pose_opt, True)
+                    return (s, ps), loss
+                (s, ps), ls = jax.lax.scan(
+                    body, (state, pstate),
+                    (order, [x[order] for x in cam_leaves_stacked],
+                     targets_stacked[order]))
+                return s, ps, ls
+
+            progs["epoch_pose"] = epoch_pose
+            progs["step_pose"] = jax.jit(
+                lambda s, ps, k, c, t: pose_lib.joint_step(
+                    s, ps, k, c, t, acfg, tc, args.pose_opt, True))
         else:
             progs["step"] = jax.jit(
                 lambda s, c, t: trainer.train_step(s, c, t, acfg, tc,
@@ -421,6 +459,9 @@ def main(argv=None) -> int:
         if args.densify:
             state, dstate = checkpoint.restore_checkpoint(
                 args.resume, (state, dstate))
+        elif pstate is not None:
+            state, pstate = checkpoint.restore_checkpoint(
+                args.resume, (state, pstate))
         else:
             state = checkpoint.restore_checkpoint(args.resume, state)
         if use_dist:
@@ -538,6 +579,19 @@ def main(argv=None) -> int:
             gc, gt = vb_groups[g]
             state, loss, vb_stats = progs["vb_step"](state, gc, gt)
             i += args.view_batch
+        elif args.pose_opt > 0 and args.steps - i >= args.views:
+            state, pstate, losses_ep = progs["epoch_pose"](state, pstate,
+                                                           view_order())
+            loss = losses_ep[-1]
+            i += args.views
+        elif args.pose_opt > 0:
+            k = i % args.views
+            if k == 0 and args.shuffle:
+                order_rng.shuffle(step_order)
+            k = step_order[k]
+            state, pstate, loss = progs["step_pose"](
+                state, pstate, jnp.int32(k), cameras[k], targets[k])
+            i += 1
         elif not use_dist and args.steps - i >= args.views:
             state, losses_ep = progs["epoch"](state, view_order())
             loss = losses_ep[-1]
@@ -563,7 +617,14 @@ def main(argv=None) -> int:
              args.steps, dt, args.steps / dt)
 
     # Report PSNR against the held camera 0 target.
-    final = render_jit(state.params, cameras[0], cfg, True)
+    cam0 = cameras[0]
+    if pstate is not None:
+        from gaussian_splat_ipu_tpu.train import pose_opt as pose_lib
+        cam0 = pose_lib.apply_delta(cam0, pstate.deltas[0])
+        mags = np.linalg.norm(np.asarray(pstate.deltas), axis=1)
+        log.info("pose refinement: mean |delta| %.4g, max %.4g",
+                 float(mags.mean()), float(mags.max()))
+    final = render_jit(state.params, cam0, cfg, True)
     psnr = float(losses.psnr(final[..., :3], targets[0][..., :3]))
     log.info("PSNR vs target view 0: %.2f dB", psnr)
     eval_psnr = None
@@ -602,7 +663,12 @@ def main(argv=None) -> int:
         state_h = trainer.TrainState(params=host_tree(state.params),
                                      opt_state=host_tree(state.opt_state),
                                      step=state.step)
-        payload = (state_h, host_tree(dstate)) if args.densify else state_h
+        if args.densify:
+            payload = (state_h, host_tree(dstate))
+        elif pstate is not None:
+            payload = (state_h, pstate)
+        else:
+            payload = state_h
         if multihost.is_primary():
             checkpoint.save_checkpoint(args.checkpoint, payload)
             log.info("checkpoint -> %s", args.checkpoint)

@@ -54,7 +54,11 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     means_lr = optax.exponential_decay(
         init_value=cfg.lr_means * cfg.scene_extent,
         transition_steps=cfg.lr_means_decay_steps,
-        decay_rate=cfg.lr_means_final / cfg.lr_means,
+        # Guarded ratio: lr_means == 0 (a frozen scene, e.g. pose-only
+        # refinement) must not divide by zero — any decay_rate works
+        # since the init value is already 0.
+        decay_rate=(cfg.lr_means_final / cfg.lr_means
+                    if cfg.lr_means > 0 else 1.0),
         end_value=cfg.lr_means_final * cfg.scene_extent)
 
     def adam(lr):

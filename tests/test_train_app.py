@@ -327,3 +327,32 @@ def test_train_cli_shuffle(tmp_path, capsys):
     assert rc == 0
     line = capsys.readouterr().out.strip().splitlines()[-1]
     assert np.isfinite(float(line.split()[0].split("=")[1]))
+
+
+def test_train_cli_pose_opt(tmp_path, capsys):
+    """--pose-opt: joint pose+scene optimisation runs through both the
+    epoch and tail paths, checkpoints include the pose state."""
+    from gaussian_splat_ipu_tpu.app import train as train_app
+
+    ply = str(tmp_path / "s.ply")
+    ckpt = str(tmp_path / "c.npz")
+    _write_scene(ply, n=48)
+    rc = train_app.main([
+        "--input", ply, "--steps", "5", "--views", "2",
+        "--width", "32", "--height", "32", "--mode", "self",
+        "--ssim-weight", "0.0", "--pose-opt", "1e-3",
+        "--checkpoint", ckpt,
+        "--pair-capacity", str(1 << 10), "--log-level", "off",
+    ])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert np.isfinite(float(line.split()[0].split("=")[1]))
+    # Resume restores (state, pstate) without shape errors.
+    rc = train_app.main([
+        "--input", ply, "--steps", "2", "--views", "2",
+        "--width", "32", "--height", "32", "--mode", "self",
+        "--ssim-weight", "0.0", "--pose-opt", "1e-3",
+        "--resume", ckpt,
+        "--pair-capacity", str(1 << 10), "--log-level", "off",
+    ])
+    assert rc == 0
