@@ -67,6 +67,12 @@ def parse_args(argv=None):
                         "tangent deltas at this Adam LR; 5e-4 is a "
                         "sensible start). Single-device, non-densify "
                         "paths only")
+    p.add_argument("--exposure-opt", type=float, default=0.0,
+                   metavar="LR",
+                   help="per-view affine exposure compensation applied "
+                        "to the render before the loss (Adam LR; 1e-2 "
+                        "is a sensible start). Single-device, "
+                        "non-densify paths; exclusive with --pose-opt")
     p.add_argument("--shuffle", action="store_true",
                    help="visit training views in a fresh random order "
                         "each epoch (standard 3DGS camera sampling); "
@@ -269,15 +275,26 @@ def main(argv=None) -> int:
                          f"({len(jax.devices())})")
     dstate = None
     pstate = None
-    if args.pose_opt > 0 and (args.densify or use_dist or multiproc):
-        log.warning("--pose-opt needs the single-device non-densify "
-                    "path; ignoring")
-        args.pose_opt = 0.0
+    estate = None
+    if args.pose_opt > 0 and args.exposure_opt > 0:
+        raise SystemExit("--pose-opt and --exposure-opt are exclusive "
+                         "(one per-view adjustment program at a time)")
+    for flag in ("pose_opt", "exposure_opt"):
+        if getattr(args, flag) > 0 and (args.densify or use_dist
+                                        or multiproc):
+            log.warning("--%s needs the single-device non-densify "
+                        "path; ignoring", flag.replace("_", "-"))
+            setattr(args, flag, 0.0)
     if args.pose_opt > 0:
         from gaussian_splat_ipu_tpu.train import pose_opt as pose_lib
         pstate = pose_lib.init_pose_state(args.views, args.pose_opt)
         log.info("pose refinement on: %d views, lr %g", args.views,
                  args.pose_opt)
+    if args.exposure_opt > 0:
+        from gaussian_splat_ipu_tpu.train import appearance as app_lib
+        estate = app_lib.init_exposure_state(args.views, args.exposure_opt)
+        log.info("exposure compensation on: %d views, lr %g", args.views,
+                 args.exposure_opt)
 
     def ensure_sharded(m, mesh_):
         from gaussian_splat_ipu_tpu.parallel import mesh as meshlib
@@ -403,29 +420,38 @@ def main(argv=None) -> int:
         elif use_dist:
             progs["step"] = distributed.make_sharded_train_step(
                 mesh, acfg, tc, pair_capacity=args.pair_capacity)
-        elif args.pose_opt > 0:
-            from gaussian_splat_ipu_tpu.train import pose_opt as pose_lib
+        elif args.pose_opt > 0 or args.exposure_opt > 0:
+            # Per-view auxiliary optimisation (pose deltas OR exposure
+            # affines): same program shape, one joint_step per module.
+            if args.pose_opt > 0:
+                from gaussian_splat_ipu_tpu.train import pose_opt as aux_lib
+                aux_lr = args.pose_opt
+            else:
+                from gaussian_splat_ipu_tpu.train import (
+                    appearance as aux_lib)
+                aux_lr = args.exposure_opt
+            joint = aux_lib.joint_step
 
             @jax.jit
-            def epoch_pose(state, pstate, order):
+            def epoch_aux(state, aux, order):
                 def body(carry, ct):
-                    s, ps = carry
+                    s, a = carry
                     k, cam_leaves, tgt = ct
                     cam = jax.tree_util.tree_unflatten(cam_treedef,
                                                        cam_leaves)
-                    s, ps, loss = pose_lib.joint_step(
-                        s, ps, k, cam, tgt, acfg, tc, args.pose_opt, True)
-                    return (s, ps), loss
-                (s, ps), ls = jax.lax.scan(
-                    body, (state, pstate),
+                    s, a, loss = joint(s, a, k, cam, tgt, acfg, tc,
+                                       aux_lr, True)
+                    return (s, a), loss
+                (s, a), ls = jax.lax.scan(
+                    body, (state, aux),
                     (order, [x[order] for x in cam_leaves_stacked],
                      targets_stacked[order]))
-                return s, ps, ls
+                return s, a, ls
 
-            progs["epoch_pose"] = epoch_pose
-            progs["step_pose"] = jax.jit(
-                lambda s, ps, k, c, t: pose_lib.joint_step(
-                    s, ps, k, c, t, acfg, tc, args.pose_opt, True))
+            progs["epoch_aux"] = epoch_aux
+            progs["step_aux"] = jax.jit(
+                lambda s, a, k, c, t: joint(s, a, k, c, t, acfg, tc,
+                                            aux_lr, True))
         else:
             progs["step"] = jax.jit(
                 lambda s, c, t: trainer.train_step(s, c, t, acfg, tc,
@@ -462,6 +488,9 @@ def main(argv=None) -> int:
         elif pstate is not None:
             state, pstate = checkpoint.restore_checkpoint(
                 args.resume, (state, pstate))
+        elif estate is not None:
+            state, estate = checkpoint.restore_checkpoint(
+                args.resume, (state, estate))
         else:
             state = checkpoint.restore_checkpoint(args.resume, state)
         if use_dist:
@@ -579,18 +608,28 @@ def main(argv=None) -> int:
             gc, gt = vb_groups[g]
             state, loss, vb_stats = progs["vb_step"](state, gc, gt)
             i += args.view_batch
-        elif args.pose_opt > 0 and args.steps - i >= args.views:
-            state, pstate, losses_ep = progs["epoch_pose"](state, pstate,
-                                                           view_order())
+        elif "epoch_aux" in progs and args.steps - i >= args.views:
+            aux = pstate if pstate is not None else estate
+            state, aux, losses_ep = progs["epoch_aux"](state, aux,
+                                                       view_order())
+            if pstate is not None:
+                pstate = aux
+            else:
+                estate = aux
             loss = losses_ep[-1]
             i += args.views
-        elif args.pose_opt > 0:
+        elif "step_aux" in progs:
             k = i % args.views
             if k == 0 and args.shuffle:
                 order_rng.shuffle(step_order)
             k = step_order[k]
-            state, pstate, loss = progs["step_pose"](
-                state, pstate, jnp.int32(k), cameras[k], targets[k])
+            aux = pstate if pstate is not None else estate
+            state, aux, loss = progs["step_aux"](
+                state, aux, jnp.int32(k), cameras[k], targets[k])
+            if pstate is not None:
+                pstate = aux
+            else:
+                estate = aux
             i += 1
         elif not use_dist and args.steps - i >= args.views:
             state, losses_ep = progs["epoch"](state, view_order())
@@ -617,6 +656,12 @@ def main(argv=None) -> int:
              args.steps, dt, args.steps / dt)
 
     # Report PSNR against the held camera 0 target.
+    if estate is not None:
+        from gaussian_splat_ipu_tpu.train import appearance as app_lib
+        dev = np.abs(np.asarray(estate.mats)
+                     - np.asarray(app_lib.identity_mats(args.views)))
+        log.info("exposure compensation: mean |dev| %.4g, max %.4g",
+                 float(dev.mean()), float(dev.max()))
     cam0 = cameras[0]
     if pstate is not None:
         from gaussian_splat_ipu_tpu.train import pose_opt as pose_lib
@@ -667,6 +712,8 @@ def main(argv=None) -> int:
             payload = (state_h, host_tree(dstate))
         elif pstate is not None:
             payload = (state_h, pstate)
+        elif estate is not None:
+            payload = (state_h, estate)
         else:
             payload = state_h
         if multihost.is_primary():

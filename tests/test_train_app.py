@@ -356,3 +356,31 @@ def test_train_cli_pose_opt(tmp_path, capsys):
         "--pair-capacity", str(1 << 10), "--log-level", "off",
     ])
     assert rc == 0
+
+
+def test_train_cli_exposure_opt(tmp_path, capsys):
+    """--exposure-opt: per-view affine compensation runs through the
+    epoch path and checkpoints with the train state."""
+    from gaussian_splat_ipu_tpu.app import train as train_app
+
+    ply = str(tmp_path / "s.ply")
+    ckpt = str(tmp_path / "c.npz")
+    _write_scene(ply, n=48)
+    rc = train_app.main([
+        "--input", ply, "--steps", "4", "--views", "2",
+        "--width", "32", "--height", "32", "--mode", "self",
+        "--ssim-weight", "0.0", "--exposure-opt", "1e-2",
+        "--checkpoint", ckpt,
+        "--pair-capacity", str(1 << 10), "--log-level", "off",
+    ])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert np.isfinite(float(line.split()[0].split("=")[1]))
+    rc = train_app.main([
+        "--input", ply, "--steps", "2", "--views", "2",
+        "--width", "32", "--height", "32", "--mode", "self",
+        "--ssim-weight", "0.0", "--exposure-opt", "1e-2",
+        "--resume", ckpt,
+        "--pair-capacity", str(1 << 10), "--log-level", "off",
+    ])
+    assert rc == 0
