@@ -33,6 +33,9 @@ _EXPORTS = {
     "render_depth": "gaussian_splat_ipu_tpu.render.pipeline",
     "load_scene": "gaussian_splat_ipu_tpu.io.scene",
     "Scene": "gaussian_splat_ipu_tpu.io.scene",
+    "load_transforms": "gaussian_splat_ipu_tpu.io.dataset",
+    "load_colmap": "gaussian_splat_ipu_tpu.io.colmap",
+    "FrameSet": "gaussian_splat_ipu_tpu.io.dataset",
 }
 
 __all__ = sorted(_EXPORTS)
