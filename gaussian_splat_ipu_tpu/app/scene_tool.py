@@ -52,6 +52,8 @@ def parse_args(argv=None):
 
 def scene_stats(model) -> dict:
     """Host-side summary statistics of a GaussianModel."""
+    if model.num_gaussians == 0:
+        return {"gaussians": 0, "sh_degree": int(model.sh_degree)}
     means = np.asarray(model.means)
     scales = np.exp(np.asarray(model.log_scales))
     opac = 1.0 / (1.0 + np.exp(-np.asarray(model.opacities)))
@@ -102,12 +104,27 @@ def process(model, prune_opacity: float = 0.0, prune_scale: float = 0.0,
 
     if max_sh >= 0 and max_sh != model.sh_degree:
         model = model.with_sh_degree(max_sh)
-    if center_flip:
+    if center_flip and model.num_gaussians > 0:
+        # Full rigid mirror through z (not the reference's means-only
+        # display flip): Sigma' = F Sigma F^T with F = diag(1,1,-1)
+        # conjugates the rotation — quat (w,x,y,z) -> (w,-x,-y,z) — and
+        # real SH bands transform as Y_l^m(x,y,-z) = (-1)^(l+m) Y_l^m.
         means = np.asarray(model.means)
+        quats = np.asarray(model.quats) * np.array([1, -1, -1, 1],
+                                                   np.float32)
+        sh = np.asarray(model.sh).copy()
+        k = sh.shape[1]
+        signs = np.ones(k, np.float32)
+        idx = 0
+        for l in range(int(np.sqrt(k))):
+            for m in range(-l, l + 1):
+                signs[idx] = (-1.0) ** (l + m)
+                idx += 1
+        sh *= signs[None, :, None]
         model = type(model)(
             means=jnp.asarray(gmod.center_and_flip(means)),
-            log_scales=model.log_scales, quats=model.quats,
-            opacities=model.opacities, sh=model.sh)
+            log_scales=model.log_scales, quats=jnp.asarray(quats),
+            opacities=model.opacities, sh=jnp.asarray(sh))
     report["output_gaussians"] = int(model.num_gaussians)
     report["sh_degree"] = int(model.sh_degree)
     return model, report
@@ -120,12 +137,18 @@ def main(argv=None) -> int:
     from gaussian_splat_ipu_tpu.io.scene import load_scene
     from gaussian_splat_ipu_tpu.train import checkpoint
 
-    scene = load_scene(args.input)
+    # Load RAW: a file tool must not re-centre / mirror its input (the
+    # render CLI's display preprocessing would silently change the
+    # coordinate frame of every output artifact).
+    scene = load_scene(args.input, center=False, flip_z=False)
     model, report = process(scene.model,
                             prune_opacity=args.prune_opacity,
                             prune_scale=args.prune_scale,
                             max_sh=args.max_sh,
                             center_flip=args.center_flip)
+    if model.num_gaussians == 0:
+        log.warning("0 gaussians survive the requested pruning — "
+                    "nothing useful to write")
     log.info("%s: %d -> %d gaussians (pruned %d), SH degree %d",
              args.input, report["input_gaussians"],
              report["output_gaussians"], report["pruned"],

@@ -207,8 +207,14 @@ def main(argv=None) -> int:
         extent = float(np.linalg.norm(origins - center, axis=1).max())
         extent = max(extent, 1e-3)
         if sfm_xyz is not None and sfm_xyz.shape[0] > 0:
-            model = GaussianModel.from_points(sfm_xyz, sfm_rgb)
-            log.info("init from %d COLMAP SfM points", sfm_xyz.shape[0])
+            # Standard 3DGS seeds at full SH capacity (degree 3, f_rest
+            # zeros) so view-dependent colour can train; --sh-degree
+            # overrides, --sh-step-every gates activation.
+            deg = args.sh_degree if args.sh_degree >= 0 else 3
+            model = GaussianModel.from_points(sfm_xyz, sfm_rgb,
+                                              sh_degree=deg)
+            log.info("init from %d COLMAP SfM points (SH degree %d)",
+                     sfm_xyz.shape[0], deg)
         else:
             n = args.init_gaussians or 20_000
             model = GaussianModel.random(jax.random.PRNGKey(0), n,

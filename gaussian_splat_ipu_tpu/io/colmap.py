@@ -76,11 +76,11 @@ class ColmapImage(NamedTuple):
 def _pinhole(model: str, params: np.ndarray) -> ColmapCamera:
     """Extract the pinhole block from any COLMAP model's param vector."""
     if model in ("SIMPLE_PINHOLE", "SIMPLE_RADIAL", "RADIAL",
-                 "SIMPLE_RADIAL_FISHEYE", "RADIAL_FISHEYE", "FOV"):
+                 "SIMPLE_RADIAL_FISHEYE", "RADIAL_FISHEYE"):
         f, cx, cy = params[0], params[1], params[2]
         fx = fy = f
         dist = params[3:]
-    else:  # PINHOLE / OPENCV family: fx fy cx cy [dist...]
+    else:  # PINHOLE / OPENCV family / FOV: fx fy cx cy [dist...]
         fx, fy, cx, cy = params[0], params[1], params[2], params[3]
         dist = params[4:]
     return ColmapCamera(model, 0, 0, float(fx), float(fy), float(cx),
@@ -328,6 +328,14 @@ def load_colmap(root: str, downscale: int = 1,
         h, w = arr.shape[:2]
         if width is None:
             width, height = w, h
+        elif (w, h) != (width, height):
+            # Training stacks targets into one (F, H, W, C) array; fail
+            # here with a clear message instead of a shape error deep in
+            # JAX (multi-camera rigs with mixed resolutions: crop or
+            # resize the capture first).
+            raise ValueError(
+                f"mixed image resolutions in COLMAP capture: {im.name} "
+                f"is {w}x{h}, first image was {width}x{height}")
 
         cam = cams[im.camera_id]
         if cam.has_distortion and not warned_distortion:

@@ -182,6 +182,8 @@ def mean_knn_distance(xyz: jnp.ndarray, k: int = 3,
     test-sized clouds and at MXU speed on TPU for SfM-scale ones.
     """
     n = xyz.shape[0]
+    if n == 1:
+        return jnp.zeros((1,), jnp.float32)  # no neighbours to measure
     k_eff = min(k, max(n - 1, 1))
     pad = (-n) % chunk
     xp = jnp.pad(xyz, ((0, pad), (0, 0)))

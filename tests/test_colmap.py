@@ -244,3 +244,29 @@ class TestFromPoints:
                            sigmoid_opacity=True)
         img = np.asarray(render_image(m, cam, cfg, use_pallas=False))
         assert np.isfinite(img).all() and np.abs(img).max() > 0.0
+
+
+def test_fov_camera_model_params():
+    """FOV (model id 7) params are (fx, fy, cx, cy, omega) — not the
+    single-focal layout."""
+    c = colmap._pinhole("FOV", np.array([100.0, 110.0, 32.0, 24.0, 0.9]))
+    assert (c.fx, c.fy, c.cx, c.cy) == (100.0, 110.0, 32.0, 24.0)
+    assert c.has_distortion  # omega is unapplied -> warn path
+
+
+def test_mixed_resolutions_rejected(tmp_path):
+    from PIL import Image
+    import pytest
+
+    root, _, _ = _make_dataset(str(tmp_path), w=16, h=12)
+    # Overwrite the second image at a different size.
+    Image.fromarray(np.zeros((24, 32, 3), np.uint8)).save(
+        os.path.join(root, "images", "b.png"))
+    with pytest.raises(ValueError, match="mixed image resolutions"):
+        colmap.load_colmap(root)
+
+
+def test_from_points_single_point_finite():
+    m = GaussianModel.from_points(np.zeros((1, 3), np.float32),
+                                  np.full((1, 3), 0.5, np.float32))
+    assert np.isfinite(np.asarray(m.log_scales)).all()

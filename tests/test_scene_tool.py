@@ -72,3 +72,69 @@ def test_center_flip():
     src = np.asarray(m.means)
     centred = src - (src.min(0) + src.max(0)) * 0.5
     np.testing.assert_allclose(pts[:, 2], -centred[:, 2], atol=1e-6)
+
+
+def test_cli_does_not_recentre_input(tmp_path):
+    """The file tool must load raw: outputs stay in the input's frame."""
+    import jax.numpy as jnp
+
+    m = _model()
+    shifted = GaussianModel(m.means + jnp.asarray([10.0, 0.0, 5.0]),
+                            m.log_scales, m.quats, m.opacities, m.sh)
+    src = str(tmp_path / "in.ply")
+    dst = str(tmp_path / "out.ply")
+    checkpoint.export_ply(src, shifted)
+    rc = scene_tool.main(["--input", src, "--output", dst,
+                          "--log-level", "off"])
+    assert rc == 0
+    back = checkpoint.import_ply(dst)
+    np.testing.assert_allclose(np.asarray(back.means),
+                               np.asarray(shifted.means), atol=1e-5)
+
+
+def test_center_flip_preserves_appearance():
+    """Mirroring the scene through z (means + quats + SH) and viewing it
+    with a correspondingly mirrored camera reproduces the original image
+    exactly — this fails if quats or SH bands are left untransformed."""
+    import jax.numpy as jnp
+
+    from gaussian_splat_ipu_tpu.models.camera import Camera
+    from gaussian_splat_ipu_tpu.render.pipeline import render_image
+    from gaussian_splat_ipu_tpu.utils.config import RasterConfig
+
+    m = _model(n=48, sh_degree=2, seed=3)
+    cam = Camera.look_at([0.4, 0.3, 3.0], [0.0, 0.0, 0.0],
+                         [0.0, 1.0, 0.0], np.radians(50.0), 1.0)
+    cfg = RasterConfig(image_width=32, image_height=32,
+                       pair_capacity=1 << 11, max_chunks_per_tile=4,
+                       sigmoid_opacity=True)
+    ref = np.asarray(render_image(m, cam, cfg, use_pallas=False))
+
+    out, _ = scene_tool.process(m, center_flip=True)
+    # World map applied by the tool: x' = F (x - c) with F = diag(1,1,-1)
+    # and c the bbox midpoint. View the mirrored scene through
+    # V' = V @ [[F, c], [0, 1]] (the inverse map composed with the view).
+    src = np.asarray(m.means)
+    c = (src.min(0) + src.max(0)) * 0.5
+    minv = np.eye(4, dtype=np.float32)
+    minv[:3, :3] = np.diag([1.0, 1.0, -1.0])
+    minv[:3, 3] = c
+    cam2 = Camera(view=jnp.asarray(np.asarray(cam.view) @ minv),
+                  proj=cam.proj)
+    got = np.asarray(render_image(out, cam2, cfg, use_pallas=False))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_stats_empty_after_prune(tmp_path, capsys):
+    import jax.numpy as jnp
+
+    m = _model()
+    dead = GaussianModel(m.means, m.log_scales, m.quats,
+                         jnp.full((64,), -20.0), m.sh)  # sigmoid ~ 0
+    src = str(tmp_path / "in.ply")
+    checkpoint.export_ply(src, dead)
+    rc = scene_tool.main(["--input", src, "--prune-opacity", "0.5",
+                          "--stats", "--log-level", "off"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["gaussians"] == 0
