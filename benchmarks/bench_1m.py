@@ -93,11 +93,19 @@ def main():
         return d, cap
 
     base_tt = dataclasses.replace(base, exact_tile_test=True)
+    base_g2 = dataclasses.replace(base, tile_group=2)
+    base_g4 = dataclasses.replace(base, tile_group=4)
     demand, tight = probe(base)
     demand_tt, tight_tt = probe(base_tt)
+    demand_g2, tight_g2 = probe(base_g2)
+    demand_g4, tight_g4 = probe(base_g4)
     print(f"pair demand {demand} -> tight {tight}; with tile test "
           f"{demand_tt} ({1 - demand_tt / max(demand, 1):.1%} cut) "
-          f"-> {tight_tt}", flush=True)
+          f"-> {tight_tt}; group2 {demand_g2} "
+          f"({1 - demand_g2 / max(demand, 1):.1%} cut) -> {tight_g2}; "
+          f"group4 {demand_g4} "
+          f"({1 - demand_g4 / max(demand, 1):.1%} cut) -> {tight_g4}",
+          flush=True)
 
     variants = {
         "fused_full": base,
@@ -110,6 +118,14 @@ def main():
             base_tt, pair_capacity=tight_tt),
         "presort_tight_tiletest": dataclasses.replace(
             base_tt, pair_capacity=tight_tt, presort_depth=True),
+        # GS-TG-style super-tile binning: fewer pairs through every
+        # O(P) pass + the sort; compositing reads group ranges.
+        "fused_tight_group2": dataclasses.replace(
+            base_g2, pair_capacity=tight_g2),
+        "presort_tight_group2": dataclasses.replace(
+            base_g2, pair_capacity=tight_g2, presort_depth=True),
+        "fused_tight_group4": dataclasses.replace(
+            base_g4, pair_capacity=tight_g4),
     }
     results = {}
     for name, cfg in variants.items():
@@ -123,6 +139,8 @@ def main():
 
     print(json.dumps({"n_gaussians": n, "demand": demand,
                       "demand_tiletest": demand_tt,
+                      "demand_group2": demand_g2,
+                      "demand_group4": demand_g4,
                       "ms_per_frame": results}))
 
 

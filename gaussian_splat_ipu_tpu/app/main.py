@@ -54,6 +54,10 @@ def parse_args(argv=None):
                    help="exact tile-ellipse coverage test: enumerate only "
                         "tiles a splat can actually light (fewer pairs, "
                         "identical image)")
+    p.add_argument("--tile-group", type=int, default=1,
+                   help="bin pairs over KxK super-tiles (GS-TG-style "
+                        "sort reduction; 1 = off, exclusive with "
+                        "--exact-tiles)")
     p.add_argument("--antialias", action="store_true",
                    help="energy-conserving lowpass (Mip-Splatting): "
                         "sub-pixel splats fade instead of brightening")
@@ -139,7 +143,8 @@ def main(argv=None) -> int:
     cfg = RasterConfig(image_width=args.width, image_height=args.height,
                        pair_capacity=args.pair_capacity,
                        exact_tile_test=args.exact_tiles,
-                       antialias=args.antialias)
+                       antialias=args.antialias,
+                       tile_group=args.tile_group)
     runtime_cfg = RuntimeConfig(
         compile_cache_dir=args.compile_cache,
         use_cpu_model=(args.device != "tpu"))

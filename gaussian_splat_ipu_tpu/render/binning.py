@@ -430,6 +430,14 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
     p = pair_capacity or cfg.pair_capacity
     ntx = cfg.tiles_x
     num_tiles = cfg.num_tiles
+    g = cfg.tile_group
+    if g > 1:
+        # Tile-group binning (see RasterConfig.tile_group): pairs are
+        # keyed by super-tile; exclusive with the per-tile coverage mask
+        # and (for now) the distributed row-strip path.
+        assert not cfg.exact_tile_test, \
+            "tile_group and exact_tile_test are exclusive"
+        assert row_lo is None, "tile_group needs the single-device path"
     if row_lo is None:
         row_lo = 0
         num_rows = cfg.tiles_y
@@ -445,6 +453,23 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
     row_hi = jnp.minimum(row_lo + num_rows, cfg.tiles_y)
 
     x0, y0, nx, ny = tile_ranges_of(splats, cfg, row_lo, row_hi)
+    if g > 1:
+        # Convert footprints to GROUP units: a k-tile span inside one
+        # group collapses to one pair. All downstream geometry (geom
+        # packing, rank decode, sort keys, CSR queries) then runs in
+        # group space; per-TILE ranges are recovered at the end by
+        # pointing every member tile at its group's range.
+        x1 = x0 + jnp.maximum(nx - 1, 0)
+        y1 = y0 + jnp.maximum(ny - 1, 0)
+        gx0, gy0 = x0 // g, y0 // g
+        nx = jnp.where(nx > 0, x1 // g - gx0 + 1, 0)
+        ny = jnp.where(ny > 0, y1 // g - gy0 + 1, 0)
+        x0, y0 = gx0, gy0
+        ntx_key = -(-cfg.tiles_x // g)           # groups across
+        num_keys_total = ntx_key * (-(-cfg.tiles_y // g))
+    else:
+        ntx_key = ntx
+        num_keys_total = num_tiles
     ncov = (nx * ny).astype(jnp.int32)
     if cfg.exact_tile_test:
         # Exact per-tile coverage: only tiles whose pixel rect can clear
@@ -468,7 +493,8 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
         splats.opacity[:, None], splats.depth[:, None],
     ], axis=-1)                                   # (N, 10)
 
-    max_query_tid = (cfg.tiles_y + num_rows) * ntx
+    max_query_tid = (num_keys_total if g > 1
+                     else (cfg.tiles_y + num_rows) * ntx)
     tile_bits = (max_query_tid + 1).bit_length()
     use_presort = (cfg.presort_depth and cfg.fused_sort_key
                    and tile_bits <= 31 and n > 0)
@@ -550,7 +576,7 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
                       jnp.full((1, 1), n, jnp.int32), jnp.float32)],
                  axis=-1)])
         feats, tile_s, _, gid_s = _presorted_feature_table(
-            packed, rank, gid_pre, jnp.int32(ntx))
+            packed, rank, gid_pre, jnp.int32(ntx_key))
     elif cfg.fused_sort_key and 31 - tile_bits >= 16:
         packed = jnp.concatenate(
             [jnp.concatenate(
@@ -558,20 +584,26 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
              jnp.zeros((1, NUM_FEATURES + 3), jnp.float32)])
         feats, tile_s, gid_s = _fused_sorted_feature_table(
             packed, rank, gid_pre, jnp.int32(31 - tile_bits),
-            jnp.int32(ntx))
+            jnp.int32(ntx_key))
     else:
         # Exact path computes the destination tile here (extra (P,)
         # geometry gathers; this is the debug/fallback path).
         gidc = jnp.minimum(gid, n - 1)
         tx, ty = _pair_tile_decode(geom[gidc], mlo[gidc], mhi[gidc], rank)
         # Pad sentinel sorts after every real (and phantom-row) tile id.
-        tile = jnp.where(is_pad, jnp.int32(1 << 30), ty * ntx + tx)
+        tile = jnp.where(is_pad, jnp.int32(1 << 30), ty * ntx_key + tx)
         packed = jnp.concatenate(
             [body, jnp.zeros((1, NUM_FEATURES), jnp.float32)])
         feats, tile_s, gid_s = _sorted_feature_table(packed, tile, gid_pre)
-    pad_s = tile_s >= num_tiles
+    pad_s = tile_s >= num_keys_total
 
-    tids = row_lo * ntx + jnp.arange(num_local, dtype=jnp.int32)
+    if g > 1:
+        # Every member tile of a group points at the group's range.
+        rows = jnp.arange(num_local, dtype=jnp.int32) // ntx
+        cols = jnp.arange(num_local, dtype=jnp.int32) % ntx
+        tids = (rows // g) * ntx_key + cols // g
+    else:
+        tids = row_lo * ntx + jnp.arange(num_local, dtype=jnp.int32)
     starts = jnp.searchsorted(tile_s, tids, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(tile_s, tids, side="right").astype(jnp.int32)
 

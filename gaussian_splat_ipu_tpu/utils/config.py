@@ -110,6 +110,18 @@ class RasterConfig:
     # are enumerated, so the output is pixel-identical. Footprints wider
     # than 8 tiles on either axis keep the full rectangle.
     exact_tile_test: bool = False
+    # Tile-GROUP binning (GS-TG-style redundant-sort reduction,
+    # arxiv 2509.00911): bin and depth-sort (gaussian, GROUP) pairs over
+    # tile_group x tile_group super-tiles instead of per-tile pairs; each
+    # tile composites its group's range. A splat spanning k tiles inside
+    # one group costs ONE pair instead of k, shrinking every O(P) binning
+    # pass and the dominant radix sort; non-covering splats evaluate to
+    # alpha < alpha_min in the compositor and are skipped, so with
+    # alpha-aware extents (extent_sigma=0) the image is pixel-identical.
+    # Compositing reads each group range once per member tile (more DMA);
+    # profitable when the frame is sort-bound (1M+ gaussians). 1 = off.
+    # Exclusive with exact_tile_test; single-device path only.
+    tile_group: int = 1
     # Cap the SH band actually evaluated (-1 = the model's full degree).
     # Training schedules raise this progressively (standard 3DGS: one band
     # per 1000 iterations) — it is static, so each bump recompiles once.

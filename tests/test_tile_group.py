@@ -1,0 +1,94 @@
+"""Tile-group binning parity tests (RasterConfig.tile_group).
+
+Grouped binning keys pairs by super-tile; the compositor's alpha_min
+skip makes the image pixel-identical under alpha-aware extents
+(extent_sigma=0), and within tolerance with capped extents (the group
+range includes just-outside-bbox splats the per-tile enumeration cuts).
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from gaussian_splat_ipu_tpu.models.camera import Camera
+from gaussian_splat_ipu_tpu.models.gaussians import GaussianModel
+from gaussian_splat_ipu_tpu.render.pipeline import render
+from gaussian_splat_ipu_tpu.utils.config import RasterConfig
+
+
+def _scene(n=160, seed=0):
+    model = GaussianModel.random(jax.random.PRNGKey(seed), n, extent=0.6)
+    cam = Camera.look_at([0.2, -0.1, 2.6], [0.0, 0.0, 0.0],
+                         [0.0, 1.0, 0.0], np.radians(55.0), 1.0)
+    return model, cam
+
+
+BASE = RasterConfig(image_width=96, image_height=96,
+                    pair_capacity=1 << 13, max_chunks_per_tile=16,
+                    tile_width=16, tile_height=16)
+
+
+@pytest.mark.parametrize("g", [2, 3])
+def test_pixel_exact_with_alpha_aware_extents(g):
+    """Same composited set and order (alpha_min skips the extras the
+    group range adds); only chunk-boundary summation order shifts, so
+    agreement is to float rounding (~1 ULP), not bitwise."""
+    model, cam = _scene()
+    exact = dataclasses.replace(BASE, extent_sigma=0.0)
+    ref = render(model, cam, exact, use_pallas=False)
+    got = render(model, cam,
+                 dataclasses.replace(exact, tile_group=g),
+                 use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got.image),
+                               np.asarray(ref.image), atol=1e-6)
+    # Grouping must never create MORE pairs.
+    assert int(got.num_pairs) <= int(ref.num_pairs)
+    assert int(got.overflow) == 0
+
+
+def test_pair_reduction_and_close_with_capped_extents():
+    model, cam = _scene(seed=1)
+    ref = render(model, cam, BASE, use_pallas=False)
+    got = render(model, cam, dataclasses.replace(BASE, tile_group=2),
+                 use_pallas=False)
+    # Capped 3-sigma extents: the group range composites a handful of
+    # just-outside-bbox splats the per-tile enumeration truncates; both
+    # are approximations of the oracle, so allow a small tolerance.
+    np.testing.assert_allclose(np.asarray(got.image),
+                               np.asarray(ref.image), atol=5e-2)
+    assert int(got.num_pairs) < int(ref.num_pairs)
+
+
+@pytest.mark.parametrize("presort", [False, True])
+def test_pallas_matches_spec_grouped(presort):
+    model, cam = _scene(seed=2, n=96)
+    cfg = dataclasses.replace(BASE, tile_group=2, extent_sigma=0.0,
+                              presort_depth=presort)
+    a = render(model, cam, cfg, use_pallas=False)
+    b = render(model, cam, cfg, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(b.image), np.asarray(a.image),
+                               atol=1e-5)
+
+
+def test_gradients_flow_grouped():
+    import jax.numpy as jnp
+
+    model, cam = _scene(seed=3, n=64)
+    cfg = dataclasses.replace(BASE, tile_group=2)
+
+    def loss(m):
+        return jnp.sum(render(m, cam, cfg, use_pallas=False).image ** 2)
+
+    grads = jax.grad(loss)(model)
+    leaves = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_group_exclusive_with_exact_tiles():
+    model, cam = _scene(n=16)
+    cfg = dataclasses.replace(BASE, tile_group=2, exact_tile_test=True)
+    with pytest.raises(AssertionError, match="exclusive"):
+        render(model, cam, cfg, use_pallas=False)
