@@ -85,6 +85,10 @@ def parse_args(argv=None):
     p.add_argument("--exact-tiles", action="store_true",
                    help="exact tile-ellipse coverage test (fewer pairs, "
                         "identical image)")
+    p.add_argument("--tile-group", type=int, default=1,
+                   help="bin pairs over KxK super-tiles (GS-TG-style "
+                        "sort reduction; single-device paths only, "
+                        "exclusive with --exact-tiles)")
     p.add_argument("--antialias", action="store_true",
                    help="energy-conserving lowpass (Mip-Splatting)")
     p.add_argument("--checkpoint", default="",
@@ -139,6 +143,14 @@ def main(argv=None) -> int:
 
     if not args.input and not args.dataset:
         raise SystemExit("one of --input / --dataset is required")
+    if args.tile_group > 1:
+        if args.exact_tiles:
+            raise SystemExit("--tile-group and --exact-tiles are "
+                             "exclusive")
+        if args.distributed:
+            log.warning("--tile-group needs the single-device renderer; "
+                        "ignoring")
+            args.tile_group = 1
 
     # Multi-process bootstrap (GSPLAT_COORDINATOR env; no-op without it):
     # after this, jax.devices() spans every host and the same code below
@@ -201,6 +213,7 @@ def main(argv=None) -> int:
                            pair_capacity=args.pair_capacity,
                            exact_tile_test=args.exact_tiles,
                            antialias=args.antialias,
+                           tile_group=args.tile_group,
                            background=(bg, bg, bg))
         origins = np.stack([np.asarray(c.cam_origin) for c in cameras])
         center = origins.mean(0)
@@ -235,6 +248,7 @@ def main(argv=None) -> int:
                            pair_capacity=args.pair_capacity,
                            exact_tile_test=args.exact_tiles,
                            antialias=args.antialias,
+                           tile_group=args.tile_group,
                            background=(bg, bg, bg))
         fov = float(np.radians(40.0))
         aspect = args.width / args.height

@@ -384,3 +384,19 @@ def test_train_cli_exposure_opt(tmp_path, capsys):
         "--pair-capacity", str(1 << 10), "--log-level", "off",
     ])
     assert rc == 0
+
+
+def test_train_cli_tile_group(tmp_path, capsys):
+    from gaussian_splat_ipu_tpu.app import train as train_app
+
+    ply = str(tmp_path / "s.ply")
+    _write_scene(ply, n=48)
+    rc = train_app.main([
+        "--input", ply, "--steps", "4", "--views", "2",
+        "--width", "32", "--height", "32", "--mode", "self",
+        "--ssim-weight", "0.0", "--tile-group", "2",
+        "--pair-capacity", str(1 << 10), "--log-level", "off",
+    ])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert np.isfinite(float(line.split()[0].split("=")[1]))
