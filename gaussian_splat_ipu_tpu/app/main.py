@@ -140,6 +140,8 @@ def main(argv=None) -> int:
     elif args.pair_capacity == 0:
         args.pair_capacity = 1 << 12  # points path never builds pairs
 
+    if args.tile_group > 1 and args.exact_tiles:
+        raise SystemExit("--tile-group and --exact-tiles are exclusive")
     cfg = RasterConfig(image_width=args.width, image_height=args.height,
                        pair_capacity=args.pair_capacity,
                        exact_tile_test=args.exact_tiles,

@@ -434,10 +434,16 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
     if g > 1:
         # Tile-group binning (see RasterConfig.tile_group): pairs are
         # keyed by super-tile; exclusive with the per-tile coverage mask
-        # and (for now) the distributed row-strip path.
-        assert not cfg.exact_tile_test, \
-            "tile_group and exact_tile_test are exclusive"
-        assert row_lo is None, "tile_group needs the single-device path"
+        # and (for now) the distributed row-strip path. Explicit raises
+        # (not asserts): these are USER-config errors and must survive
+        # python -O — silently combining them would decode the 8x8
+        # coverage masks from group-space geometry onto wrong tiles.
+        if cfg.exact_tile_test:
+            raise ValueError("tile_group and exact_tile_test are "
+                             "exclusive")
+        if row_lo is not None:
+            raise ValueError("tile_group needs the single-device path "
+                             "(distributed row strips bin per-tile)")
     if row_lo is None:
         row_lo = 0
         num_rows = cfg.tiles_y

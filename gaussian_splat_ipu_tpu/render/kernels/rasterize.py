@@ -58,7 +58,7 @@ def _kernel(starts_ref, ends_ref, off_ref, feat_ref, out_ref, nc_ref,
     # gaussians — the graceful-degradation analogue of the reference's
     # fixed-capacity channels, codelets.cpp:487-490).
     end = jnp.minimum(ends_ref[lid],
-                      start + cfg.max_chunks_per_tile * c)
+                      start + cfg.max_chunks_per_range * c)
     # Floor-align the DMA base so every chunk offset is a multiple of C
     # (Mosaic requires 128-aligned lane slices); pairs before `start` in the
     # first chunk belong to the previous tile and are masked off. Empty
@@ -268,7 +268,7 @@ def _bwd_kernel(starts_ref, ends_ref, off_ref, feat_ref, gout_ref, tn_ref,
     ntx = cfg.tiles_x
 
     start = starts_ref[lid]
-    end = jnp.minimum(ends_ref[lid], start + cfg.max_chunks_per_tile * c)
+    end = jnp.minimum(ends_ref[lid], start + cfg.max_chunks_per_range * c)
     base = (start // c) * c
     # Pairs past the furthest contributor of ANY pixel got zero weight in
     # the forward (early termination) and have zero gradients: clip the

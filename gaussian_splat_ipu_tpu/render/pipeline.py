@@ -23,7 +23,10 @@ from gaussian_splat_ipu_tpu.utils.config import RasterConfig
 
 class RenderOutput(NamedTuple):
     image: jnp.ndarray        # (H, W, 4) f32 RGBA (alpha = coverage)
-    tile_counts: jnp.ndarray  # (T,) i32 splats composited per tile
+    # (T,) i32 pairs composited per tile. With cfg.tile_group > 1 every
+    # member tile reports its GROUP's range (its actual compositing
+    # work); `truncated` below is deduped to one tally per group.
+    tile_counts: jnp.ndarray
     overflow: jnp.ndarray     # () i32 dropped pairs (capacity exceeded)
     num_pairs: jnp.ndarray    # () i32 live (gaussian, tile) pairs
     visible: jnp.ndarray      # (N,) bool, gaussian survived frustum cull
@@ -59,9 +62,20 @@ def render(model: GaussianModel, camera: Camera, cfg: RasterConfig,
     else:
         tiles = tile_raster.rasterize_tiles_jnp(binned, cfg)
     image = _untile_crop(tiles, cfg)
+    # With tile grouping, counts reports each tile's ACTUAL compositing
+    # range (= its whole group's pairs) — honest work telemetry — but
+    # the truncated tally dedupes to one representative tile per group
+    # so dropped pairs aren't counted g^2 times.
     counts = binned.tile_ends - binned.tile_starts
-    work_cap = cfg.max_chunks_per_tile * cfg.chunk_size
-    truncated = jnp.sum(jnp.maximum(counts - work_cap, 0))
+    work_cap = cfg.max_chunks_per_range * cfg.chunk_size
+    over = jnp.maximum(counts - work_cap, 0)
+    g = cfg.tile_group
+    if g > 1:
+        idx = jnp.arange(counts.shape[0])
+        rep = ((idx // cfg.tiles_x) % g == 0) & ((idx % cfg.tiles_x) % g
+                                                 == 0)
+        over = jnp.where(rep, over, 0)
+    truncated = jnp.sum(over)
     return RenderOutput(image=image, tile_counts=counts,
                         overflow=binned.overflow, num_pairs=binned.num_pairs,
                         visible=splats.radius[:, 0] > 0.0,

@@ -148,7 +148,7 @@ def rasterize_tiles_jnp(binned: B.BinnedSplats, cfg: RasterConfig,
         c0 = jnp.zeros((npix, 3), jnp.float32)
         s0 = jnp.zeros((npix, 1), jnp.bool_)
         (t, color, _), _ = jax.lax.scan(
-            step, (t0, c0, s0), jnp.arange(cfg.max_chunks_per_tile))
+            step, (t0, c0, s0), jnp.arange(cfg.max_chunks_per_range))
         color = color + t * bg[None, :]
         return jnp.concatenate([color, 1.0 - t], axis=-1)
 

@@ -128,6 +128,14 @@ class RasterConfig:
     active_sh_degree: int = -1
 
     @property
+    def max_chunks_per_range(self) -> int:
+        """Per-RANGE compositing work bound. With tile grouping a tile's
+        range is its whole group's (up to tile_group^2 tiles of pairs),
+        so the cap scales accordingly — otherwise grouping would silently
+        divide the effective per-tile capacity by g^2."""
+        return self.max_chunks_per_tile * self.tile_group * self.tile_group
+
+    @property
     def tiles_x(self) -> int:
         return -(-self.image_width // self.tile_width)
 

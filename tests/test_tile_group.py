@@ -90,5 +90,21 @@ def test_gradients_flow_grouped():
 def test_group_exclusive_with_exact_tiles():
     model, cam = _scene(n=16)
     cfg = dataclasses.replace(BASE, tile_group=2, exact_tile_test=True)
-    with pytest.raises(AssertionError, match="exclusive"):
+    with pytest.raises(ValueError, match="exclusive"):
         render(model, cam, cfg, use_pallas=False)
+
+
+def test_work_cap_scales_and_truncated_dedupes():
+    """The per-range work cap scales by g^2 (same effective per-tile
+    capacity as ungrouped) and the truncated counter dedupes to one
+    count per group."""
+    model, cam = _scene(seed=4)
+    tight = dataclasses.replace(BASE, max_chunks_per_tile=1)
+    ref = render(model, cam, tight, use_pallas=False)
+    grouped = dataclasses.replace(tight, tile_group=2)
+    assert grouped.max_chunks_per_range == 4
+    got = render(model, cam, grouped, use_pallas=False)
+    # Group ranges (~the 4 tiles' pairs) against a 4x cap truncate in
+    # the same regime as per-tile ranges against a 1x cap; the deduped
+    # tally must stay comparable, not ~4x the per-tile number.
+    assert int(got.truncated) <= 2 * max(int(ref.truncated), 1)
