@@ -73,6 +73,12 @@ def parse_args(argv=None):
                         "to the render before the loss (Adam LR; 1e-2 "
                         "is a sensible start). Single-device, "
                         "non-densify paths; exclusive with --pose-opt")
+    p.add_argument("--depth-loss", type=float, default=0.0, metavar="W",
+                   help="supervise rendered depth at the COLMAP SfM "
+                        "track observations with this weight (masked "
+                        "relative-L1; needs a COLMAP --dataset; "
+                        "single-device non-densify path, exclusive "
+                        "with --pose-opt/--exposure-opt)")
     p.add_argument("--shuffle", action="store_true",
                    help="visit training views in a fresh random order "
                         "each epoch (standard 3DGS camera sampling); "
@@ -173,11 +179,21 @@ def main(argv=None) -> int:
         from gaussian_splat_ipu_tpu.io import colmap as colmap_lib
         from gaussian_splat_ipu_tpu.io import dataset as dataset_lib
         sfm_xyz = sfm_rgb = None
+        depth_obs = None
         if (os.path.isdir(args.dataset)
                 and colmap_lib.is_colmap_dir(args.dataset)):
-            fs, sfm_xyz, sfm_rgb = colmap_lib.load_colmap(
-                args.dataset, downscale=args.downscale)
+            if args.depth_loss > 0:
+                fs, sfm_xyz, sfm_rgb, depth_obs = colmap_lib.load_colmap(
+                    args.dataset, downscale=args.downscale,
+                    with_depth=True)
+            else:
+                fs, sfm_xyz, sfm_rgb = colmap_lib.load_colmap(
+                    args.dataset, downscale=args.downscale)
         else:
+            if args.depth_loss > 0:
+                log.warning("--depth-loss needs a COLMAP dataset "
+                            "(SfM track observations); ignoring")
+                args.depth_loss = 0.0
             fs = dataset_lib.load_transforms(args.dataset,
                                              downscale=args.downscale)
         bg = 1.0 if args.background == "white" else 0.0
@@ -207,6 +223,15 @@ def main(argv=None) -> int:
         cameras = [fs.cameras[i] for i in train_idx]
         targets = [jnp.asarray(as_target(fs.images[i]))
                    for i in train_idx]
+        depth_pack = None
+        if args.depth_loss > 0 and depth_obs is not None:
+            from gaussian_splat_ipu_tpu.train import depth as depth_mod
+            depth_pack = depth_mod.pack_observations(
+                [depth_obs[i] for i in train_idx])
+            total_obs = sum(depth_obs[i].shape[0] for i in train_idx)
+            log.info("depth supervision: %d SfM observations over %d "
+                     "views (packed K=%d)", total_obs, len(train_idx),
+                     depth_pack[0].shape[1])
         args.views = len(cameras)
         args.width, args.height = fs.width, fs.height
         cfg = RasterConfig(image_width=fs.width, image_height=fs.height,
@@ -235,6 +260,10 @@ def main(argv=None) -> int:
         log.info("dataset %s: %d views at %dx%d, camera extent %.2f",
                  args.dataset, len(cameras), fs.width, fs.height, extent)
     else:
+        depth_pack = None
+        if args.depth_loss > 0:
+            log.warning("--depth-loss needs a COLMAP --dataset; ignoring")
+            args.depth_loss = 0.0
         if mesh is not None:
             # Each process parses ONLY its slice of the scene file and the
             # model assembles directly as one globally-sharded jax.Array
@@ -296,10 +325,12 @@ def main(argv=None) -> int:
     dstate = None
     pstate = None
     estate = None
-    if args.pose_opt > 0 and args.exposure_opt > 0:
-        raise SystemExit("--pose-opt and --exposure-opt are exclusive "
-                         "(one per-view adjustment program at a time)")
-    for flag in ("pose_opt", "exposure_opt"):
+    if sum(x > 0 for x in (args.pose_opt, args.exposure_opt,
+                           args.depth_loss)) > 1:
+        raise SystemExit("--pose-opt / --exposure-opt / --depth-loss are "
+                         "mutually exclusive (one special step program "
+                         "at a time)")
+    for flag in ("pose_opt", "exposure_opt", "depth_loss"):
         if getattr(args, flag) > 0 and (args.densify or use_dist
                                         or multiproc):
             log.warning("--%s needs the single-device non-densify "
@@ -440,6 +471,29 @@ def main(argv=None) -> int:
         elif use_dist:
             progs["step"] = distributed.make_sharded_train_step(
                 mesh, acfg, tc, pair_capacity=args.pair_capacity)
+        elif args.depth_loss > 0 and depth_pack is not None:
+            from gaussian_splat_ipu_tpu.train import depth as depth_mod
+            raw_dstep = depth_mod.make_depth_train_step(
+                acfg, tc, args.depth_loss, use_pallas=True, jit=False)
+            obs_all, mask_all = depth_pack
+
+            @jax.jit
+            def epoch_depth(state, order):
+                def body(s, ct):
+                    cam_leaves, tgt, ob, mk = ct
+                    cam = jax.tree_util.tree_unflatten(cam_treedef,
+                                                       cam_leaves)
+                    return raw_dstep(s, cam, tgt, ob, mk)
+                return jax.lax.scan(
+                    body, state,
+                    ([x[order] for x in cam_leaves_stacked],
+                     targets_stacked[order], obs_all[order],
+                     mask_all[order]))
+
+            progs["epoch_depth"] = epoch_depth
+            progs["step_depth"] = jax.jit(
+                lambda s, k, c, t: raw_dstep(s, c, t, obs_all[k],
+                                             mask_all[k]))
         elif args.pose_opt > 0 or args.exposure_opt > 0:
             # Per-view auxiliary optimisation (pose deltas OR exposure
             # affines): same program shape, one joint_step per module.
@@ -628,6 +682,18 @@ def main(argv=None) -> int:
             gc, gt = vb_groups[g]
             state, loss, vb_stats = progs["vb_step"](state, gc, gt)
             i += args.view_batch
+        elif "epoch_depth" in progs and args.steps - i >= args.views:
+            state, losses_ep = progs["epoch_depth"](state, view_order())
+            loss = losses_ep[-1]
+            i += args.views
+        elif "step_depth" in progs:
+            k = i % args.views
+            if k == 0 and args.shuffle:
+                order_rng.shuffle(step_order)
+            k = step_order[k]
+            state, loss = progs["step_depth"](state, jnp.int32(k),
+                                              cameras[k], targets[k])
+            i += 1
         elif "epoch_aux" in progs and args.steps - i >= args.views:
             aux = pstate if pstate is not None else estate
             state, aux, losses_ep = progs["epoch_aux"](state, aux,

@@ -71,6 +71,12 @@ class ColmapImage(NamedTuple):
     qvec: np.ndarray     # (4,) w, x, y, z
     tvec: np.ndarray     # (3,)
     camera_id: int
+    # SfM track observations in this view: pixel xy (K, 2) and the
+    # point3D id each observes (K,), -1 entries filtered out. Loaded
+    # only with with_points2d=True (sparse-depth supervision); empty
+    # arrays otherwise.
+    xys: np.ndarray = np.zeros((0, 2), np.float64)
+    point3d_ids: np.ndarray = np.zeros((0,), np.int64)
 
 
 def _pinhole(model: str, params: np.ndarray) -> ColmapCamera:
@@ -112,7 +118,9 @@ def read_cameras_binary(path: str) -> Dict[int, ColmapCamera]:
     return cams
 
 
-def read_images_binary(path: str) -> Dict[int, ColmapImage]:
+def read_images_binary(path: str,
+                       with_points2d: bool = False
+                       ) -> Dict[int, ColmapImage]:
     images: Dict[int, ColmapImage] = {}
     with open(path, "rb") as f:
         (n,) = _read(f, "Q")
@@ -128,26 +136,37 @@ def read_images_binary(path: str) -> Dict[int, ColmapImage]:
                     break
                 chars += c
             (num_pts,) = _read(f, "Q")
-            f.seek(24 * num_pts, os.SEEK_CUR)    # (x, y, point3D_id) triples
+            if with_points2d and num_pts:
+                rec = np.frombuffer(f.read(24 * num_pts),
+                                    dtype=[("xy", "<f8", 2),
+                                           ("pid", "<i8")])
+                keep = rec["pid"] >= 0        # -1 = untriangulated
+                xys, pids = rec["xy"][keep], rec["pid"][keep]
+            else:
+                f.seek(24 * num_pts, os.SEEK_CUR)  # (x, y, point3D_id)
+                xys = np.zeros((0, 2), np.float64)
+                pids = np.zeros((0,), np.int64)
             images[image_id] = ColmapImage(chars.decode("utf-8"), qvec,
-                                           tvec, camera_id)
+                                           tvec, camera_id, xys, pids)
     return images
 
 
-def read_points3d_binary(path: str) -> Tuple[np.ndarray, np.ndarray]:
-    """Returns (xyz (N, 3) f32, rgb (N, 3) f32 in [0, 1])."""
-    xyzs, rgbs = [], []
+def read_points3d_binary(path: str
+                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (xyz (N, 3) f32, rgb (N, 3) f32 in [0, 1], ids (N,) i64)."""
+    xyzs, rgbs, ids = [], [], []
     with open(path, "rb") as f:
         (n,) = _read(f, "Q")
         for _ in range(n):
             vals = _read(f, "qdddBBBd")
+            ids.append(vals[0])
             xyzs.append(vals[1:4])
             rgbs.append(vals[4:7])
             (track_len,) = _read(f, "Q")
             f.seek(8 * track_len, os.SEEK_CUR)   # (image_id, point2D_idx)
     xyz = np.asarray(xyzs, np.float32).reshape(-1, 3)
     rgb = np.asarray(rgbs, np.float32).reshape(-1, 3) / 255.0
-    return xyz, rgb
+    return xyz, rgb, np.asarray(ids, np.int64)
 
 
 # -- text readers ------------------------------------------------------------
@@ -174,9 +193,11 @@ def read_cameras_text(path: str) -> Dict[int, ColmapCamera]:
     return cams
 
 
-def read_images_text(path: str) -> Dict[int, ColmapImage]:
+def read_images_text(path: str,
+                     with_points2d: bool = False) -> Dict[int, ColmapImage]:
     images: Dict[int, ColmapImage] = {}
     pose_line = True
+    image_id = None
     with open(path) as f:
         for line in f:
             line = line.strip()
@@ -191,20 +212,29 @@ def read_images_text(path: str) -> Dict[int, ColmapImage]:
                 tvec = np.array([float(v) for v in parts[5:8]])
                 images[image_id] = ColmapImage(parts[9], qvec, tvec,
                                                int(parts[8]))
+            elif with_points2d and line:
+                # Triplets "x y point3D_id"; -1 = untriangulated.
+                vals = np.array(line.split(), np.float64).reshape(-1, 3)
+                keep = vals[:, 2] >= 0
+                images[image_id] = images[image_id]._replace(
+                    xys=vals[keep, :2],
+                    point3d_ids=vals[keep, 2].astype(np.int64))
             # The 2D-point line (possibly empty) always follows a pose.
             pose_line = not pose_line
     return images
 
 
-def read_points3d_text(path: str) -> Tuple[np.ndarray, np.ndarray]:
-    xyzs, rgbs = [], []
+def read_points3d_text(path: str
+                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    xyzs, rgbs, ids = [], [], []
     for line in _data_lines(path):
         parts = line.split()
+        ids.append(int(parts[0]))
         xyzs.append([float(v) for v in parts[1:4]])
         rgbs.append([float(v) for v in parts[4:7]])
     xyz = np.asarray(xyzs, np.float32).reshape(-1, 3)
     rgb = np.asarray(rgbs, np.float32).reshape(-1, 3) / 255.0
-    return xyz, rgb
+    return xyz, rgb, np.asarray(ids, np.int64)
 
 
 # -- model assembly -----------------------------------------------------------
@@ -237,8 +267,9 @@ def is_colmap_dir(root: str) -> bool:
         return False
 
 
-def read_model(sparse_dir: str):
-    """Read (cameras, images, points_xyz, points_rgb), binary preferred."""
+def read_model(sparse_dir: str, with_points2d: bool = False):
+    """Read (cameras, images, points_xyz, points_rgb, point_ids),
+    binary preferred."""
     def pick(stem):
         for ext in (".bin", ".txt"):
             p = os.path.join(sparse_dir, stem + ext)
@@ -251,22 +282,23 @@ def read_model(sparse_dir: str):
     cams = (read_cameras_binary if cam_ext == ".bin"
             else read_cameras_text)(cam_path)
     imgs = (read_images_binary if img_ext == ".bin"
-            else read_images_text)(img_path)
+            else read_images_text)(img_path, with_points2d=with_points2d)
     try:
         pts_path, pts_ext = pick("points3D")
-        xyz, rgb = (read_points3d_binary if pts_ext == ".bin"
-                    else read_points3d_text)(pts_path)
+        xyz, rgb, pids = (read_points3d_binary if pts_ext == ".bin"
+                          else read_points3d_text)(pts_path)
     except FileNotFoundError:
         xyz = np.zeros((0, 3), np.float32)
         rgb = np.zeros((0, 3), np.float32)
-    return cams, imgs, xyz, rgb
+        pids = np.zeros((0,), np.int64)
+    return cams, imgs, xyz, rgb, pids
 
 
 def load_colmap(root: str, downscale: int = 1,
                 max_frames: Optional[int] = None,
                 near: float = 0.01, far: float = 1000.0,
                 images_dir: Optional[str] = None,
-                ) -> Tuple[FrameSet, np.ndarray, np.ndarray]:
+                with_depth: bool = False):
     """Load a COLMAP dataset -> (FrameSet, sfm_xyz, sfm_rgb).
 
     `root` is the capture directory (containing sparse/ + images/) or the
@@ -274,6 +306,12 @@ def load_colmap(root: str, downscale: int = 1,
     pre-downscaled ``images_{downscale}/`` directory exists it is used
     as-is (the common 3DGS dataset convention); otherwise full-resolution
     images are resized in the loader.
+
+    with_depth=True additionally returns, as a 4th value, one (K_i, 3)
+    f32 array per frame of sparse SfM depth observations
+    ``[u_px, v_px, z_cam]`` — each triangulated track this view observes,
+    at the DECODED image resolution — for depth-supervised training
+    (train/depth.py).
     """
     root = os.path.abspath(root)
     sparse = find_sparse_dir(root)
@@ -286,7 +324,12 @@ def load_colmap(root: str, downscale: int = 1,
     else:
         capture_root = root
 
-    cams, imgs, xyz, rgb = read_model(sparse)
+    cams, imgs, xyz, rgb, pids = read_model(sparse,
+                                            with_points2d=with_depth)
+    if with_depth:
+        # point3D id -> row index (ids are sparse and unordered).
+        sort_idx = np.argsort(pids)
+        pids_sorted = pids[sort_idx]
 
     resize = downscale
     if images_dir is None:
@@ -317,6 +360,7 @@ def load_colmap(root: str, downscale: int = 1,
 
     cameras: List[Camera] = []
     images: List[np.ndarray] = []
+    depth_obs: List[np.ndarray] = []
     width = height = None
     for k, im in enumerate(order):
         got = prefetch.fetch(jobs[k]) if prefetch is not None else None
@@ -356,9 +400,30 @@ def load_colmap(root: str, downscale: int = 1,
             w2c.astype(np.float32), near, far))
         images.append(arr)
 
+        if with_depth:
+            # Depth of each observed track in this view: z of
+            # R @ X + t (OpenCV camera, +z forward). Pixel xy scales
+            # with the decoded resolution like the intrinsics.
+            rows = np.searchsorted(pids_sorted, im.point3d_ids)
+            valid = ((rows < len(pids_sorted))
+                     & (pids_sorted[np.minimum(rows,
+                                               len(pids_sorted) - 1)]
+                        == im.point3d_ids))
+            rows = sort_idx[rows[valid]]
+            pts = xyz[rows].astype(np.float64)
+            z = (pts @ w2c[2, :3]) + w2c[2, 3]
+            uv = im.xys[valid] * np.array([sx, sy])
+            infront = z > near
+            depth_obs.append(np.concatenate(
+                [uv[infront], z[infront, None]],
+                axis=1).astype(np.float32))
+
     if prefetch is not None:
         prefetch.close()
     if not cameras:
         raise ValueError(f"{root}: COLMAP model contains no images")
-    return (FrameSet(cameras=cameras, images=images, width=width,
-                     height=height), xyz, rgb)
+    fs = FrameSet(cameras=cameras, images=images, width=width,
+                  height=height)
+    if with_depth:
+        return fs, xyz, rgb, depth_obs
+    return fs, xyz, rgb

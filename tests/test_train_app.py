@@ -400,3 +400,21 @@ def test_train_cli_tile_group(tmp_path, capsys):
     assert rc == 0
     line = capsys.readouterr().out.strip().splitlines()[-1]
     assert np.isfinite(float(line.split()[0].split("=")[1]))
+
+
+def test_train_cli_depth_loss(tmp_path, capsys):
+    """--depth-loss on a COLMAP dataset: SfM track depths supervise the
+    rendered depth through the epoch path."""
+    from gaussian_splat_ipu_tpu.app import train as train_app
+    from tests.test_colmap import _make_dataset
+
+    root, _, _ = _make_dataset(str(tmp_path / "cap"), binary=True,
+                               w=32, h=32)
+    rc = train_app.main([
+        "--dataset", root, "--steps", "2", "--ssim-weight", "0.0",
+        "--depth-loss", "0.5", "--sh-degree", "0",
+        "--pair-capacity", str(1 << 10), "--log-level", "info",
+    ])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert np.isfinite(float(line.split()[0].split("=")[1]))
