@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--downscale", type=int, default=1)
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--pair-capacity", type=int, default=1 << 19)
+    p.add_argument("--exact-tiles", action="store_true",
+                   help="exact tile-ellipse coverage test (fewer pairs)")
+    p.add_argument("--tile-group", type=int, default=1,
+                   help="bin pairs over KxK super-tiles (exclusive with "
+                        "--exact-tiles)")
     p.add_argument("--background", default="black",
                    choices=["black", "white"],
                    help="composite both render and RGBA targets over this")
@@ -108,8 +113,12 @@ def main(argv=None) -> int:
         raise SystemExit("split selected zero views")
 
     model = checkpoint.import_ply(args.input)
+    if args.tile_group > 1 and args.exact_tiles:
+        raise SystemExit("--tile-group and --exact-tiles are exclusive")
     cfg = RasterConfig(image_width=fs.width, image_height=fs.height,
-                       pair_capacity=args.pair_capacity)
+                       pair_capacity=args.pair_capacity,
+                       exact_tile_test=args.exact_tiles,
+                       tile_group=args.tile_group)
     log.info("eval: %d gaussians, %d/%d views (%s), %dx%d",
              model.num_gaussians, len(idxs), len(fs), args.split,
              fs.width, fs.height)
