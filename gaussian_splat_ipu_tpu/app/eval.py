@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tile-group", type=int, default=1,
                    help="bin pairs over KxK super-tiles (exclusive with "
                         "--exact-tiles)")
+    p.add_argument("--antialias", action="store_true",
+                   help="energy-conserving lowpass — match a scene "
+                        "trained with --antialias")
     p.add_argument("--background", default="black",
                    choices=["black", "white"],
                    help="composite both render and RGBA targets over this")
@@ -77,6 +80,9 @@ def select_split(n: int, split: str, k: int):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.tile_group > 1 and args.exact_tiles:
+        # Fail fast, before the (potentially long) dataset decode.
+        raise SystemExit("--tile-group and --exact-tiles are exclusive")
 
     import jax
     import jax.numpy as jnp
@@ -113,12 +119,11 @@ def main(argv=None) -> int:
         raise SystemExit("split selected zero views")
 
     model = checkpoint.import_ply(args.input)
-    if args.tile_group > 1 and args.exact_tiles:
-        raise SystemExit("--tile-group and --exact-tiles are exclusive")
     cfg = RasterConfig(image_width=fs.width, image_height=fs.height,
                        pair_capacity=args.pair_capacity,
                        exact_tile_test=args.exact_tiles,
-                       tile_group=args.tile_group)
+                       tile_group=args.tile_group,
+                       antialias=args.antialias)
     log.info("eval: %d gaussians, %d/%d views (%s), %dx%d",
              model.num_gaussians, len(idxs), len(fs), args.split,
              fs.width, fs.height)

@@ -626,6 +626,14 @@ def main(argv=None) -> int:
         return jnp.arange(args.views, dtype=jnp.int32)
 
     step_order = list(range(args.views))
+
+    def next_step_index(i):
+        """Tail-step view index (re-shuffled at each epoch boundary)."""
+        k = i % args.views
+        if k == 0 and args.shuffle:
+            order_rng.shuffle(step_order)
+        return step_order[k]
+
     while i < args.steps:
         if (args.sh_step_every > 0 and active_sh < full_sh_degree
                 and i // args.sh_step_every > active_sh):
@@ -687,10 +695,7 @@ def main(argv=None) -> int:
             loss = losses_ep[-1]
             i += args.views
         elif "step_depth" in progs:
-            k = i % args.views
-            if k == 0 and args.shuffle:
-                order_rng.shuffle(step_order)
-            k = step_order[k]
+            k = next_step_index(i)
             state, loss = progs["step_depth"](state, jnp.int32(k),
                                               cameras[k], targets[k])
             i += 1
@@ -705,10 +710,7 @@ def main(argv=None) -> int:
             loss = losses_ep[-1]
             i += args.views
         elif "step_aux" in progs:
-            k = i % args.views
-            if k == 0 and args.shuffle:
-                order_rng.shuffle(step_order)
-            k = step_order[k]
+            k = next_step_index(i)
             aux = pstate if pstate is not None else estate
             state, aux, loss = progs["step_aux"](
                 state, aux, jnp.int32(k), cameras[k], targets[k])
@@ -722,10 +724,7 @@ def main(argv=None) -> int:
             loss = losses_ep[-1]
             i += args.views
         else:
-            k = i % args.views
-            if k == 0 and args.shuffle:
-                order_rng.shuffle(step_order)
-            k = step_order[k]
+            k = next_step_index(i)
             state, loss = progs["step"](state, cameras[k], targets[k])
             i += 1
         if (i // args.views) % 10 == 0 or i >= args.steps:

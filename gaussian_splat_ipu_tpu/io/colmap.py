@@ -326,6 +326,14 @@ def load_colmap(root: str, downscale: int = 1,
 
     cams, imgs, xyz, rgb, pids = read_model(sparse,
                                             with_points2d=with_depth)
+    if with_depth and len(pids) == 0:
+        # points3D file missing/empty: no depths to look up even if the
+        # images record track ids. Degrade to empty observations.
+        log.warning("with_depth: %s has no points3D — depth "
+                    "observations will be empty", sparse)
+        imgs = {k: im._replace(xys=np.zeros((0, 2)),
+                               point3d_ids=np.zeros((0,), np.int64))
+                for k, im in imgs.items()}
     if with_depth:
         # point3D id -> row index (ids are sparse and unordered).
         sort_idx = np.argsort(pids)

@@ -48,7 +48,10 @@ def pack_observations(depth_obs: List[np.ndarray],
     mask = np.zeros((len(depth_obs), k), bool)
     for i, o in enumerate(depth_obs):
         if o.shape[0] > k:
-            o = o[:: -(-o.shape[0] // k)][:k]
+            # Evenly-spaced EXACTLY-k subsample (a ceil-strided slice
+            # underfills by up to ~50% when n is just above a multiple
+            # of k).
+            o = o[np.linspace(0, o.shape[0] - 1, k).round().astype(int)]
         obs[i, :o.shape[0]] = o
         mask[i, :o.shape[0]] = True
     return jnp.asarray(obs), jnp.asarray(mask)

@@ -112,3 +112,14 @@ def test_depth_step_pulls_geometry_toward_observation():
                                            cfg, use_pallas=False))
     assert np.isfinite(float(loss))
     assert d1 < 0.5 * d0, (d0, d1)
+
+
+def test_pack_observations_fills_budget():
+    """n slightly above k must still fill all k slots (a ceil-strided
+    slice kept only ~k/2)."""
+    o = [np.arange(4097 * 3, dtype=np.float32).reshape(4097, 3)]
+    obs, m = depth_lib.pack_observations(o, max_per_view=4096)
+    assert int(np.asarray(m).sum()) == 4096
+    # First and last observations are retained by the even spacing.
+    np.testing.assert_allclose(np.asarray(obs[0, 0]), o[0][0])
+    np.testing.assert_allclose(np.asarray(obs[0, -1]), o[0][-1])
