@@ -87,6 +87,13 @@ def parse_args(argv=None):
                    default="black",
                    help="render/composite background (standard 3DGS "
                         "trains NeRF-synthetic over white)")
+    p.add_argument("--max-device-views", type=int, default=0,
+                   help="stream training targets from host RAM in "
+                        "chunks of this many views per epoch-scan "
+                        "program (0 = keep the whole target stack "
+                        "device-resident). Bounds HBM at full-res "
+                        "many-view captures; non-divisible view counts "
+                        "wrap a few duplicates into the last chunk")
     p.add_argument("--pair-capacity", type=int, default=1 << 18)
     p.add_argument("--exact-tiles", action="store_true",
                    help="exact tile-ellipse coverage test (fewer pairs, "
@@ -221,8 +228,10 @@ def main(argv=None) -> int:
         else:
             train_idx = list(range(len(fs)))
         cameras = [fs.cameras[i] for i in train_idx]
-        targets = [jnp.asarray(as_target(fs.images[i]))
-                   for i in train_idx]
+        # Host numpy: the epoch programs receive targets as call
+        # arguments, so the full stack only moves to HBM when
+        # --max-device-views is off (see targets_src below).
+        targets = [as_target(fs.images[i]) for i in train_idx]
         depth_pack = None
         if args.depth_loss > 0 and depth_obs is not None:
             from gaussian_splat_ipu_tpu.train import depth as depth_mod
@@ -421,7 +430,18 @@ def main(argv=None) -> int:
     # stacked view set): per-dispatch tunnel latency (~40 ms on remote
     # devices) would otherwise dwarf the ~20 ms step itself.
     cams_stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *cameras)
-    targets_stacked = jnp.stack(targets)
+    chunk_views = (args.max_device_views
+                   if 0 < args.max_device_views < args.views else 0)
+    if chunk_views:
+        # Host-resident target store: each epoch-scan call receives one
+        # chunk_views-sized slice (uploaded on call), so device memory
+        # holds only chunk + model + pairs instead of every view.
+        targets_src = np.stack([np.asarray(t) for t in targets])
+        log.info("target streaming: %d views on device per program "
+                 "(%d total, %.1f MB host store)", chunk_views,
+                 args.views, targets_src.nbytes / 1e6)
+    else:
+        targets_src = jnp.stack(targets)
     cam_treedef = jax.tree_util.tree_structure(cameras[0])
     cam_leaves_stacked = jax.tree_util.tree_leaves(cams_stacked)
 
@@ -450,7 +470,7 @@ def main(argv=None) -> int:
                                                        jit=False)
 
             @jax.jit
-            def epoch_densify(state, dstate, order):
+            def epoch_densify(state, dstate, order, tgts):
                 def body(carry, ct):
                     s, ds = carry
                     cam_leaves, tgt = ct
@@ -460,8 +480,7 @@ def main(argv=None) -> int:
                     return (s, ds), loss
                 (s, ds), ls = jax.lax.scan(
                     body, (state, dstate),
-                    ([x[order] for x in cam_leaves_stacked],
-                     targets_stacked[order]))
+                    ([x[order] for x in cam_leaves_stacked], tgts))
                 return s, ds, ls
 
             progs["epoch_densify"] = epoch_densify
@@ -478,7 +497,7 @@ def main(argv=None) -> int:
             obs_all, mask_all = depth_pack
 
             @jax.jit
-            def epoch_depth(state, order):
+            def epoch_depth(state, order, tgts):
                 def body(s, ct):
                     cam_leaves, tgt, ob, mk = ct
                     cam = jax.tree_util.tree_unflatten(cam_treedef,
@@ -486,9 +505,8 @@ def main(argv=None) -> int:
                     return raw_dstep(s, cam, tgt, ob, mk)
                 return jax.lax.scan(
                     body, state,
-                    ([x[order] for x in cam_leaves_stacked],
-                     targets_stacked[order], obs_all[order],
-                     mask_all[order]))
+                    ([x[order] for x in cam_leaves_stacked], tgts,
+                     obs_all[order], mask_all[order]))
 
             progs["epoch_depth"] = epoch_depth
             progs["step_depth"] = jax.jit(
@@ -507,7 +525,7 @@ def main(argv=None) -> int:
             joint = aux_lib.joint_step
 
             @jax.jit
-            def epoch_aux(state, aux, order):
+            def epoch_aux(state, aux, order, tgts):
                 def body(carry, ct):
                     s, a = carry
                     k, cam_leaves, tgt = ct
@@ -519,7 +537,7 @@ def main(argv=None) -> int:
                 (s, a), ls = jax.lax.scan(
                     body, (state, aux),
                     (order, [x[order] for x in cam_leaves_stacked],
-                     targets_stacked[order]))
+                     tgts))
                 return s, a, ls
 
             progs["epoch_aux"] = epoch_aux
@@ -533,7 +551,7 @@ def main(argv=None) -> int:
                 donate_argnums=(0,))
 
             @jax.jit
-            def epoch(state, order):
+            def epoch(state, order, tgts):
                 def body(s, ct):
                     cam_leaves, tgt = ct
                     cam = jax.tree_util.tree_unflatten(cam_treedef,
@@ -541,8 +559,7 @@ def main(argv=None) -> int:
                     return trainer.train_step(s, cam, tgt, acfg, tc, True)
                 return jax.lax.scan(
                     body, state,
-                    ([x[order] for x in cam_leaves_stacked],
-                     targets_stacked[order]))
+                    ([x[order] for x in cam_leaves_stacked], tgts))
 
             progs["epoch"] = epoch
         return progs
@@ -625,6 +642,24 @@ def main(argv=None) -> int:
             return jnp.asarray(order_rng.permutation(args.views), jnp.int32)
         return jnp.arange(args.views, dtype=jnp.int32)
 
+    def epoch_chunks():
+        """Per-epoch (order, targets) pieces for the epoch programs.
+
+        Without --max-device-views: one piece, the device-resident
+        target stack gathered by the full visit order. With it: slices
+        of a host-side store, uploaded per call (the final short slice
+        wraps a few duplicate views so every piece compiles once)."""
+        order = np.asarray(view_order())
+        n = chunk_views or args.views
+        for c0 in range(0, args.views, n):
+            sel = order[c0:c0 + n]
+            if len(sel) < n:
+                sel = np.concatenate([sel, order[:n - len(sel)]])
+            sel_j = jnp.asarray(sel, jnp.int32)
+            tgt = (targets_src[sel] if chunk_views
+                   else targets_src[sel_j])
+            yield sel_j, tgt
+
     step_order = list(range(args.views))
 
     def next_step_index(i):
@@ -642,8 +677,9 @@ def main(argv=None) -> int:
             log.info("SH schedule: active degree -> %d at step %d",
                      active_sh, i)
         if args.densify:
-            state, dstate, losses_ep = progs["epoch_densify"](
-                state, dstate, view_order())
+            for sel, tgt in epoch_chunks():
+                state, dstate, losses_ep = progs["epoch_densify"](
+                    state, dstate, sel, tgt)
             loss = losses_ep[-1]
             i += args.views
             c = dcfg
@@ -691,7 +727,8 @@ def main(argv=None) -> int:
             state, loss, vb_stats = progs["vb_step"](state, gc, gt)
             i += args.view_batch
         elif "epoch_depth" in progs and args.steps - i >= args.views:
-            state, losses_ep = progs["epoch_depth"](state, view_order())
+            for sel, tgt in epoch_chunks():
+                state, losses_ep = progs["epoch_depth"](state, sel, tgt)
             loss = losses_ep[-1]
             i += args.views
         elif "step_depth" in progs:
@@ -701,8 +738,9 @@ def main(argv=None) -> int:
             i += 1
         elif "epoch_aux" in progs and args.steps - i >= args.views:
             aux = pstate if pstate is not None else estate
-            state, aux, losses_ep = progs["epoch_aux"](state, aux,
-                                                       view_order())
+            for sel, tgt in epoch_chunks():
+                state, aux, losses_ep = progs["epoch_aux"](state, aux,
+                                                           sel, tgt)
             if pstate is not None:
                 pstate = aux
             else:
@@ -720,7 +758,8 @@ def main(argv=None) -> int:
                 estate = aux
             i += 1
         elif not use_dist and args.steps - i >= args.views:
-            state, losses_ep = progs["epoch"](state, view_order())
+            for sel, tgt in epoch_chunks():
+                state, losses_ep = progs["epoch"](state, sel, tgt)
             loss = losses_ep[-1]
             i += args.views
         else:

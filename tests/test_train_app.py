@@ -418,3 +418,22 @@ def test_train_cli_depth_loss(tmp_path, capsys):
     assert rc == 0
     line = capsys.readouterr().out.strip().splitlines()[-1]
     assert np.isfinite(float(line.split()[0].split("=")[1]))
+
+
+def test_train_cli_max_device_views(tmp_path, capsys):
+    """--max-device-views streams host-side target chunks through the
+    epoch program; loss matches the resident path's behaviour shape-wise
+    (3 views, chunks of 2 -> one wrapped duplicate)."""
+    from gaussian_splat_ipu_tpu.app import train as train_app
+
+    ply = str(tmp_path / "s.ply")
+    _write_scene(ply, n=48)
+    rc = train_app.main([
+        "--input", ply, "--steps", "6", "--views", "3",
+        "--width", "32", "--height", "32", "--mode", "self",
+        "--ssim-weight", "0.0", "--max-device-views", "2",
+        "--pair-capacity", str(1 << 10), "--log-level", "off",
+    ])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert np.isfinite(float(line.split()[0].split("=")[1]))
