@@ -77,8 +77,8 @@ def parse_args(argv=None):
                    help="supervise rendered depth at the COLMAP SfM "
                         "track observations with this weight (masked "
                         "relative-L1; needs a COLMAP --dataset; "
-                        "single-device non-densify path, exclusive "
-                        "with --pose-opt/--exposure-opt)")
+                        "single-device paths, composes with --densify, "
+                        "exclusive with --pose-opt/--exposure-opt)")
     p.add_argument("--shuffle", action="store_true",
                    help="visit training views in a fresh random order "
                         "each epoch (standard 3DGS camera sampling); "
@@ -339,12 +339,17 @@ def main(argv=None) -> int:
         raise SystemExit("--pose-opt / --exposure-opt / --depth-loss are "
                          "mutually exclusive (one special step program "
                          "at a time)")
-    for flag in ("pose_opt", "exposure_opt", "depth_loss"):
+    for flag in ("pose_opt", "exposure_opt"):
         if getattr(args, flag) > 0 and (args.densify or use_dist
                                         or multiproc):
             log.warning("--%s needs the single-device non-densify "
                         "path; ignoring", flag.replace("_", "-"))
             setattr(args, flag, 0.0)
+    # Depth supervision composes with --densify (depth-regularised
+    # density control) but not with the distributed step programs.
+    if args.depth_loss > 0 and (use_dist or multiproc):
+        log.warning("--depth-loss needs the single-device path; ignoring")
+        args.depth_loss = 0.0
     if args.pose_opt > 0:
         from gaussian_splat_ipu_tpu.train import pose_opt as pose_lib
         pstate = pose_lib.init_pose_state(args.views, args.pose_opt)
@@ -462,25 +467,30 @@ def main(argv=None) -> int:
         (one recompile each) whenever the progressive schedule bumps."""
         progs = {}
         if args.densify:
+            with_depth = args.depth_loss > 0 and depth_pack is not None
             if use_dist:
                 raw_step = distributed.make_sharded_densify_train_step(
                     mesh, acfg, tc, use_pallas=True, jit=False)
             else:
-                raw_step = densify_lib.make_train_step(acfg, tc, True,
-                                                       jit=False)
+                raw_step = densify_lib.make_train_step(
+                    acfg, tc, True, jit=False,
+                    depth_weight=args.depth_loss if with_depth else 0.0)
 
             @jax.jit
             def epoch_densify(state, dstate, order, tgts):
                 def body(carry, ct):
                     s, ds = carry
-                    cam_leaves, tgt = ct
+                    cam_leaves, tgt = ct[:2]
                     cam = jax.tree_util.tree_unflatten(cam_treedef,
                                                        cam_leaves)
-                    s, ds, loss = raw_step(s, ds, cam, tgt)
+                    s, ds, loss = raw_step(s, ds, cam, tgt, *ct[2:])
                     return (s, ds), loss
-                (s, ds), ls = jax.lax.scan(
-                    body, (state, dstate),
-                    ([x[order] for x in cam_leaves_stacked], tgts))
+                xs = [[x[order] for x in cam_leaves_stacked], tgts]
+                if with_depth:
+                    obs_all, mask_all = depth_pack
+                    xs += [obs_all[order], mask_all[order]]
+                (s, ds), ls = jax.lax.scan(body, (state, dstate),
+                                           tuple(xs))
                 return s, ds, ls
 
             progs["epoch_densify"] = epoch_densify

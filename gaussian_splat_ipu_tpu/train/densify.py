@@ -196,30 +196,42 @@ def loss_mix_scale(model: GaussianModel, camera: Camera,
 
 
 def make_train_step(raster_cfg: RasterConfig, train_cfg: trainer.TrainConfig,
-                    use_pallas: bool = True, jit: bool = True):
+                    use_pallas: bool = True, jit: bool = True,
+                    depth_weight: float = 0.0):
     """Train step that also accumulates densification statistics.
 
     step(state, dstate, camera, target) -> (state, dstate, loss). The probe
     gradient costs one extra (C, 2) zeros input; everything else is the
     plain trainer.train_step computation. jit=False returns the raw
     traceable function (for embedding in a caller's lax.scan epoch).
+
+    With depth_weight > 0 the step instead takes
+    (state, dstate, camera, target, obs, mask) and adds the sparse SfM
+    depth term (train/depth.py) — depth-regularised density control, the
+    standard real-capture recipe.
     """
     tx = trainer.make_optimizer(train_cfg)
+    if depth_weight > 0.0:
+        from gaussian_splat_ipu_tpu.train import depth as depth_mod
 
-    def loss_fn(params, probe, camera, target):
+    def loss_fn(params, probe, camera, target, obs=None, mask=None):
         out = render(params, camera, raster_cfg, use_pallas, xy_probe=probe)
-        return (losses.render_loss(out.image, target,
-                                   train_cfg.ssim_weight), out.visible)
+        loss = losses.render_loss(out.image, target,
+                                  train_cfg.ssim_weight)
+        if depth_weight > 0.0:
+            loss = loss + depth_weight * depth_mod.sparse_depth_loss(
+                params, camera, obs, mask, raster_cfg, use_pallas)
+        return (loss, out.visible)
 
     half_wh = jnp.array([0.5 * raster_cfg.image_width,
                          0.5 * raster_cfg.image_height], jnp.float32)
 
     def step(state: trainer.TrainState, dstate: DensifyState,
-             camera: Camera, target: jnp.ndarray):
+             camera: Camera, target: jnp.ndarray, obs=None, mask=None):
         probe = jnp.zeros((state.params.num_gaussians, 2), jnp.float32)
         (loss, visible), (grads, gxy) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(
-            state.params, probe, camera, target)
+            state.params, probe, camera, target, obs, mask)
 
         # d(pixel xy) -> NDC-equivalent units so the standard threshold
         # holds at any resolution: xy_px = (ndc + 1) * (wh / 2).

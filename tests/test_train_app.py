@@ -437,3 +437,23 @@ def test_train_cli_max_device_views(tmp_path, capsys):
     assert rc == 0
     line = capsys.readouterr().out.strip().splitlines()[-1]
     assert np.isfinite(float(line.split()[0].split("=")[1]))
+
+
+def test_train_cli_densify_with_depth_loss(tmp_path, capsys):
+    """Depth-regularised density control: --densify --depth-loss compose
+    on a COLMAP capture."""
+    from gaussian_splat_ipu_tpu.app import train as train_app
+    from tests.test_colmap import _make_dataset
+
+    root, _, _ = _make_dataset(str(tmp_path / "cap"), binary=True,
+                               w=32, h=32)
+    rc = train_app.main([
+        "--dataset", root, "--steps", "4", "--ssim-weight", "0.0",
+        "--depth-loss", "0.3", "--densify", "--capacity", "16",
+        "--densify-from", "1", "--densify-every", "2",
+        "--densify-until", "100", "--sh-degree", "0",
+        "--pair-capacity", str(1 << 10), "--log-level", "off",
+    ])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert np.isfinite(float(line.split()[0].split("=")[1]))
