@@ -67,6 +67,21 @@ def main() -> int:
     assert fwd_err <= 1e-5, f"forward parity broken: {fwd_err}"
     assert grad_err <= 1e-5, f"gradient parity broken: {grad_err}"
     assert float(fwd(model, True)) >= 0.0
+
+    # Grouped binning (RasterConfig.tile_group) on hardware: compiled
+    # Pallas over super-tile ranges must match the ungrouped compiled
+    # image to float rounding (alpha-aware extents -> same composited
+    # set; see tests/test_tile_group.py for the CPU-side version).
+    import dataclasses
+    gcfg = dataclasses.replace(cfg, tile_group=2, extent_sigma=0.0)
+    ucfg = dataclasses.replace(cfg, extent_sigma=0.0)
+    img_g = np.asarray(jax.jit(
+        render_image, static_argnums=(2, 3))(model, camera, gcfg, True))
+    img_u = np.asarray(jax.jit(
+        render_image, static_argnums=(2, 3))(model, camera, ucfg, True))
+    group_err = float(np.abs(img_g - img_u).max())
+    print(f"tpu tile_group parity: max_err={group_err:.3e}", flush=True)
+    assert group_err <= 1e-5, f"tile_group parity broken: {group_err}"
     return 0
 
 
