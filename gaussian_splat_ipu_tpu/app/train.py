@@ -100,8 +100,9 @@ def parse_args(argv=None):
                         "identical image)")
     p.add_argument("--tile-group", type=int, default=1,
                    help="bin pairs over KxK super-tiles (GS-TG-style "
-                        "sort reduction; single-device paths only, "
-                        "exclusive with --exact-tiles)")
+                        "sort reduction; exclusive with --exact-tiles; "
+                        "with --distributed, rows-per-device must be a "
+                        "multiple of K)")
     p.add_argument("--antialias", action="store_true",
                    help="energy-conserving lowpass (Mip-Splatting)")
     p.add_argument("--checkpoint", default="",
@@ -156,14 +157,11 @@ def main(argv=None) -> int:
 
     if not args.input and not args.dataset:
         raise SystemExit("one of --input / --dataset is required")
-    if args.tile_group > 1:
-        if args.exact_tiles:
-            raise SystemExit("--tile-group and --exact-tiles are "
-                             "exclusive")
-        if args.distributed:
-            log.warning("--tile-group needs the single-device renderer; "
-                        "ignoring")
-            args.tile_group = 1
+    if args.tile_group > 1 and args.exact_tiles:
+        raise SystemExit("--tile-group and --exact-tiles are exclusive")
+    # --tile-group composes with --distributed when each device's row
+    # strip covers whole group rows; binning raises a clear ValueError
+    # otherwise (rows-per-device % group != 0).
 
     # Multi-process bootstrap (GSPLAT_COORDINATOR env; no-op without it):
     # after this, jax.devices() spans every host and the same code below

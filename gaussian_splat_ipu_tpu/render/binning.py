@@ -441,9 +441,12 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
         if cfg.exact_tile_test:
             raise ValueError("tile_group and exact_tile_test are "
                              "exclusive")
-        if row_lo is not None:
-            raise ValueError("tile_group needs the single-device path "
-                             "(distributed row strips bin per-tile)")
+        if row_lo is not None and (num_rows is None or num_rows % g):
+            # Strips must cover whole group rows: groups may not span
+            # devices (each device owns complete group ranges).
+            raise ValueError(
+                f"tile_group={g} needs the per-device row count "
+                f"({num_rows}) to be a multiple of the group size")
     if row_lo is None:
         row_lo = 0
         num_rows = cfg.tiles_y
@@ -473,9 +476,14 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
         x0, y0 = gx0, gy0
         ntx_key = -(-cfg.tiles_x // g)           # groups across
         num_keys_total = ntx_key * (-(-cfg.tiles_y // g))
+        # Group-row analogue of the tile-space phantom-row slack below:
+        # uneven sharding can query group rows past the grid.
+        max_query_key = (-(-cfg.tiles_y // g)
+                         + -(-num_rows // g)) * ntx_key
     else:
         ntx_key = ntx
         num_keys_total = num_tiles
+        max_query_key = None
     ncov = (nx * ny).astype(jnp.int32)
     if cfg.exact_tile_test:
         # Exact per-tile coverage: only tiles whose pixel rect can clear
@@ -499,7 +507,7 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
         splats.opacity[:, None], splats.depth[:, None],
     ], axis=-1)                                   # (N, 10)
 
-    max_query_tid = (num_keys_total if g > 1
+    max_query_tid = (max_query_key if g > 1
                      else (cfg.tiles_y + num_rows) * ntx)
     tile_bits = (max_query_tid + 1).bit_length()
     use_presort = (cfg.presort_depth and cfg.fused_sort_key
@@ -604,8 +612,9 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
     pad_s = tile_s >= num_keys_total
 
     if g > 1:
-        # Every member tile of a group points at the group's range.
-        rows = jnp.arange(num_local, dtype=jnp.int32) // ntx
+        # Every member tile of a group points at the group's range
+        # (rows offset by this device's strip start).
+        rows = row_lo + jnp.arange(num_local, dtype=jnp.int32) // ntx
         cols = jnp.arange(num_local, dtype=jnp.int32) % ntx
         tids = (rows // g) * ntx_key + cols // g
     else:

@@ -120,7 +120,9 @@ class RasterConfig:
     # alpha-aware extents (extent_sigma=0) the image is pixel-identical.
     # Compositing reads each group range once per member tile (more DMA);
     # profitable when the frame is sort-bound (1M+ gaussians). 1 = off.
-    # Exclusive with exact_tile_test; single-device path only.
+    # Exclusive with exact_tile_test. Works on the distributed row-strip
+    # path when each device's strip covers whole group rows
+    # (rows-per-device % tile_group == 0).
     tile_group: int = 1
     # Cap the SH band actually evaluated (-1 = the model's full degree).
     # Training schedules raise this progressively (standard 3DGS: one band

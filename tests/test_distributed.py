@@ -210,3 +210,50 @@ class TestShardedTrainStep:
         delta = np.abs(np.asarray(new_state.params.means)
                        - means_before).max()
         assert delta > 0.0
+
+
+class TestShardedTileGroup:
+    def test_grouped_strips_match_single_device(self):
+        """tile_group on the distributed row-strip path: group-keyed
+        binning per device strip reproduces the ungrouped single-device
+        image (alpha-aware extents -> same composited set)."""
+        import dataclasses
+
+        model, camera = _scene(seed=7)
+        # 4 cols x 8 rows of 16px tiles; 4 devices x 2 rows = aligned
+        # 2x2 groups per strip.
+        cfg = RasterConfig(image_width=64, image_height=128,
+                           tile_width=16, tile_height=16,
+                           pair_capacity=1 << 13, max_chunks_per_tile=8,
+                           extent_sigma=0.0)
+        ref = render(model, camera, cfg, use_pallas=False)
+
+        mesh = meshlib.make_mesh(4)
+        sharded = meshlib.shard_model(model, mesh)
+        gcfg = dataclasses.replace(cfg, tile_group=2)
+        out = distributed.render_sharded(sharded, camera, gcfg, mesh,
+                                         use_pallas=False,
+                                         pair_capacity=1 << 13)
+        assert int(out.overflow) == 0
+        np.testing.assert_allclose(np.asarray(out.image),
+                                   np.asarray(ref.image), atol=1e-5)
+
+    def test_misaligned_strip_rejected(self):
+        """Strips that split a group (rows per device not a multiple of
+        the group size) raise a clear config error."""
+        import dataclasses
+
+        import pytest
+
+        model, camera = _scene(seed=8, n=64)
+        # 8 rows over 8 devices = 1 row/device; group 2 spans devices.
+        cfg = RasterConfig(image_width=64, image_height=128,
+                           tile_width=16, tile_height=16,
+                           pair_capacity=1 << 12, max_chunks_per_tile=8,
+                           tile_group=2)
+        mesh = meshlib.make_mesh(8)
+        sharded = meshlib.shard_model(model, mesh)
+        with pytest.raises(ValueError, match="multiple of the group"):
+            distributed.render_sharded(sharded, camera, cfg, mesh,
+                                       use_pallas=False,
+                                       pair_capacity=1 << 12)
