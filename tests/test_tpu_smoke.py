@@ -31,6 +31,10 @@ def test_compiled_pallas_parity_on_tpu():
     # Drop the harness's virtual-device flag so the child sees the real
     # backend topology.
     env.pop("XLA_FLAGS", None)
+    # `python tests/_tpu_smoke_child.py` puts tests/ (not the repo root)
+    # on sys.path; make the package importable regardless of install.
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
     child = os.path.join(os.path.dirname(__file__), "_tpu_smoke_child.py")
     proc = subprocess.run(
         [sys.executable, child], env=env, capture_output=True, text=True,
