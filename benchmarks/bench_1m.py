@@ -18,10 +18,15 @@ Two-point chained-scan timing (utils/profiling.py rationale).
 
 import dataclasses
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# `python benchmarks/bench_1m.py` puts benchmarks/ (not the repo root) on
+# sys.path; append the root so the package imports without an install.
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 WIDTH, HEIGHT = 1280, 720
 
