@@ -113,7 +113,10 @@ def main():
     probe = jax.jit(demand_at)
     demand = max(max(int(probe(model, jnp.float32(a)))
                      for a in np.linspace(0.0, 360.0, 16)), 1)
-    cap = max(1 << int(np.ceil(np.log2(1.5 * demand))), 4 * cfg.chunk_size)
+    # Chunk-aligned, not power-of-two: every binning pass is O(capacity),
+    # so pow2 rounding can waste up to 2x of the dominant frame cost.
+    cap = max(-(-int(1.2 * demand) // cfg.chunk_size) * cfg.chunk_size,
+              4 * cfg.chunk_size)
     if cap < cfg.pair_capacity:
         cfg = dataclasses.replace(cfg, pair_capacity=cap)
 

@@ -13,6 +13,10 @@ plus the effect of right-sizing pair_capacity to the probed demand
 (every binning pass is O(capacity)).
 
 Run on the real chip: python benchmarks/bench_1m.py [n_gaussians]
+Optional: GSPLAT_VARIANTS=name1,name2 runs a subset — drive each variant
+in its own subprocess under `timeout`: sustained heavy programs can wedge
+the tunneled device, and a wedge inside one variant must not kill the
+whole campaign (the compile cache makes re-runs cheap).
 Two-point chained-scan timing (utils/profiling.py rationale).
 """
 
@@ -94,7 +98,11 @@ def main():
     def probe(cfg):
         d = int(jax.jit(lambda m: render(m, cam_of_k(jnp.float32(0.0)),
                                          cfg, True).num_pairs)(model))
-        cap = 1 << max(int(np.ceil(np.log2(max(d * 1.3, 1024)))), 12)
+        # Chunk-aligned, NOT power-of-two: every binning pass is O(cap),
+        # so pow2 rounding wastes up to 2x (a 3.4M demand would land on
+        # 8.4M). 15% headroom + the orbit's own demand variation is
+        # covered by probing the worst of 16 angles in real apps.
+        cap = max(-(-int(d * 1.15) // 128) * 128, 4096)
         return d, cap
 
     base_tt = dataclasses.replace(base, exact_tile_test=True)
@@ -132,6 +140,10 @@ def main():
         "fused_tight_group4": dataclasses.replace(
             base_g4, pair_capacity=tight_g4),
     }
+    only = os.environ.get("GSPLAT_VARIANTS", "")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        variants = {k: v for k, v in variants.items() if k in keep}
     results = {}
     for name, cfg in variants.items():
         def frame(m, cam, cfg=cfg):

@@ -106,8 +106,10 @@ def _auto_pair_capacity(scene, width: int, height: int, fov: float,
         if worst <= probe_cap or probe_cap >= 1 << 24:
             break
         probe_cap *= 4
+    # Chunk-aligned, not power-of-two (every binning pass is O(capacity);
+    # pow2 rounding can double the dominant frame cost for nothing).
     cap = max(int(worst * 1.3), 4 * cfg.chunk_size)
-    return 1 << int(np.ceil(np.log2(cap)))
+    return -(-cap // cfg.chunk_size) * cfg.chunk_size
 
 
 def main(argv=None) -> int:

@@ -42,9 +42,13 @@ from gaussian_splat_ipu_tpu.utils.config import RasterConfig
 
 
 def _kernel(starts_ref, ends_ref, off_ref, feat_ref, out_ref, nc_ref,
-            chunk_buf, sems, *, cfg: RasterConfig, need_aux: bool = True):
+            chunk_buf, sems, *, cfg: RasterConfig, need_aux: bool = True,
+            relaxed: bool = False):
     """need_aux=False (inference): skip the per-pixel first-trigger
-    tracking and contributor-count output the backward replay needs."""
+    tracking and contributor-count output the backward replay needs.
+    relaxed=True (requires need_aux=False): additionally drop the strict
+    per-pixel break semantics — see RasterConfig.strict_termination."""
+    assert not (relaxed and need_aux)
     lid = pl.program_id(0)           # local tile index within this shard
     tid = off_ref[0] + lid           # global flat tile id (pixel coords)
     c = cfg.chunk_size
@@ -87,6 +91,91 @@ def _kernel(starts_ref, ends_ref, off_ref, feat_ref, out_ref, nc_ref,
     def _():
         dma(0, 0).start()
 
+    if relaxed:
+        # Inference fast path: no per-pixel stop tracking. Pixels keep
+        # compositing until the TILE's max transmittance falls below the
+        # threshold; the per-pixel deviation vs strict semantics is
+        # bounded by the weight left at the strict stop point (see
+        # RasterConfig.strict_termination). ~25% fewer VPU passes/chunk.
+        def cond_r(state):
+            k, t, _color = state
+            return jnp.logical_and(k < nchunks,
+                                   jnp.max(t) >= cfg.transmittance_eps)
+
+        def body_r(state):
+            k, t, color = state
+            slot = jax.lax.rem(k, 2)
+            dma(slot, k).wait()
+            chunk = chunk_buf[slot].T                 # (C, TABLE_ROWS)
+
+            pos = base + k * c + lane                 # (C, 1)
+            valid = (pos >= start) & (pos < end)
+            gx = chunk[:, B.FEAT_X:B.FEAT_X + 1]
+            gy = chunk[:, B.FEAT_Y:B.FEAT_Y + 1]
+            ca = chunk[:, B.FEAT_CONIC_A:B.FEAT_CONIC_A + 1]
+            cb = chunk[:, B.FEAT_CONIC_B:B.FEAT_CONIC_B + 1]
+            cc = chunk[:, B.FEAT_CONIC_C:B.FEAT_CONIC_C + 1]
+            # Validity rides the (C, 1) opacity column instead of a
+            # (C, NPIX) mask pass: op == 0 => alpha == 0 => skipped.
+            op = jnp.where(valid, chunk[:, B.FEAT_OPACITY:
+                                        B.FEAT_OPACITY + 1], 0.0)
+
+            dx = gx - px                              # (C, NPIX)
+            dy = gy - py
+            power = (-0.5 * (ca * dx * dx + cc * dy * dy)
+                     - cb * dx * dy)
+            alpha = jnp.minimum(cfg.alpha_clamp, op * jnp.exp(power))
+            alpha = jnp.where((power > 0.0) | (alpha < cfg.alpha_min),
+                              0.0, alpha)
+
+            one_minus = 1.0 - alpha
+            incl = one_minus
+            sh = 1
+            while sh < c:
+                incl = incl * jnp.concatenate(
+                    [jnp.ones((sh, npix), jnp.float32), incl[:-sh]],
+                    axis=0)
+                sh *= 2
+            t_pre = t * jnp.concatenate(
+                [jnp.ones((1, npix), jnp.float32), incl[:-1]], axis=0)
+            # Gate each pair on its post-blend transmittance: test_t < eps
+            # excludes the trigger pair and (by monotonicity) everything
+            # after it — the COLOUR output matches the strict kernel
+            # exactly; only the final-transmittance output (alpha channel
+            # + background weight) decays past the strict frozen value,
+            # bounded by transmittance_eps / (1 - alpha_clamp).
+            test_t = t * incl
+            w = jnp.where(test_t < cfg.transmittance_eps, 0.0,
+                          alpha * t_pre)               # (C, NPIX)
+
+            rgb = chunk[:, B.FEAT_R:B.FEAT_B + 1]      # (C, 3)
+            color = color + jax.lax.dot_general(
+                rgb, w, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)   # (3, NPIX)
+            t = t * incl[-1:]
+
+            @pl.when(jnp.logical_and(
+                k + 1 < nchunks,
+                jnp.max(t) >= cfg.transmittance_eps))
+            def _():
+                dma(jax.lax.rem(k + 1, 2), k + 1).start()
+
+            return k + 1, t, color
+
+        t0 = jnp.ones((1, npix), jnp.float32)
+        color0 = jnp.zeros((3, npix), jnp.float32)
+        _, t, color = jax.lax.while_loop(
+            cond_r, body_r, (jnp.int32(0), t0, color0))
+        for ch in range(3):
+            out_ref[0, ch:ch + 1, :] = (color[ch:ch + 1, :]
+                                        + t * cfg.background[ch])
+        out_ref[0, 3:4, :] = 1.0 - t
+        # Contributor count: degraded (full range) — inference only.
+        nc_ref[0, 0:1, :] = jnp.full((1, npix),
+                                     (end - start).astype(jnp.float32))
+        return
+
     def cond(state):
         k, _t, _color, stopped, _sp = state
         return jnp.logical_and(k < nchunks, jnp.min(stopped) < 0.5)
@@ -106,14 +195,17 @@ def _kernel(starts_ref, ends_ref, off_ref, feat_ref, out_ref, nc_ref,
         ca = chunk[:, B.FEAT_CONIC_A:B.FEAT_CONIC_A + 1]
         cb = chunk[:, B.FEAT_CONIC_B:B.FEAT_CONIC_B + 1]
         cc = chunk[:, B.FEAT_CONIC_C:B.FEAT_CONIC_C + 1]
-        op = chunk[:, B.FEAT_OPACITY:B.FEAT_OPACITY + 1]
+        # Validity rides the (C, 1) opacity column instead of a (C, NPIX)
+        # mask pass: op == 0 => alpha == 0 < alpha_min => skipped, and
+        # zero alpha never triggers the break — identical semantics.
+        op = jnp.where(valid,
+                       chunk[:, B.FEAT_OPACITY:B.FEAT_OPACITY + 1], 0.0)
 
         dx = gx - px                                   # (C, NPIX)
         dy = gy - py
         power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
         alpha = jnp.minimum(cfg.alpha_clamp, op * jnp.exp(power))
-        skip = ((power > 0.0) | (alpha < cfg.alpha_min)
-                | jnp.logical_not(valid))
+        skip = (power > 0.0) | (alpha < cfg.alpha_min)
         alpha = jnp.where(skip, 0.0, alpha)
 
         # Multiplicative domain (same formulation as the jnp spec): the
@@ -193,7 +285,8 @@ def _kernel(starts_ref, ends_ref, off_ref, feat_ref, out_ref, nc_ref,
 
 
 def _pallas_forward(features, starts, ends, offset, cfg: RasterConfig,
-                    interpret: bool, need_aux: bool = True):
+                    interpret: bool, need_aux: bool = True,
+                    relaxed: bool = False):
     c = cfg.chunk_size
     npix = cfg.pixels_per_tile
     num_tiles = starts.shape[0]  # tiles in this shard (== cfg.num_tiles
@@ -220,7 +313,8 @@ def _pallas_forward(features, starts, ends, offset, cfg: RasterConfig,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_kernel, cfg=cfg, need_aux=need_aux)
+    kernel = functools.partial(_kernel, cfg=cfg, need_aux=need_aux,
+                               relaxed=relaxed)
     # Per tile: ~20 elementwise (C, NPIX) passes (alpha eval + doubling
     # scan) + the (3, C, NPIX) colour contraction.
     flops_est = npix * c * 26
@@ -354,7 +448,9 @@ def _bwd_kernel(starts_ref, ends_ref, off_ref, feat_ref, gout_ref, tn_ref,
         ca = chunk[:, B.FEAT_CONIC_A:B.FEAT_CONIC_A + 1]
         cb = chunk[:, B.FEAT_CONIC_B:B.FEAT_CONIC_B + 1]
         cc = chunk[:, B.FEAT_CONIC_C:B.FEAT_CONIC_C + 1]
-        op = chunk[:, B.FEAT_OPACITY:B.FEAT_OPACITY + 1]
+        # Validity rides the (C, 1) opacity column (see forward kernel).
+        op = jnp.where(valid,
+                       chunk[:, B.FEAT_OPACITY:B.FEAT_OPACITY + 1], 0.0)
         rgb = chunk[:, B.FEAT_R:B.FEAT_B + 1]   # (C, 3)
 
         dx = gx - px
@@ -362,8 +458,7 @@ def _bwd_kernel(starts_ref, ends_ref, off_ref, feat_ref, gout_ref, tn_ref,
         power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
         a_raw = op * jnp.exp(power)
         alpha = jnp.minimum(cfg.alpha_clamp, a_raw)
-        skip = ((power > 0.0) | (alpha < cfg.alpha_min)
-                | jnp.logical_not(valid))
+        skip = (power > 0.0) | (alpha < cfg.alpha_min)
         alpha = jnp.where(skip, 0.0, alpha)
         live = pos.astype(jnp.float32) < live_limit        # (C, NPIX)
         a_eff = jnp.where(live, alpha, 0.0)
@@ -527,9 +622,12 @@ def rasterize_tiles(binned: B.BinnedSplats, cfg: RasterConfig,
     def raster(features, starts, ends, offset):
         # Primal (inference) path: the backward-replay aux (per-pixel
         # first-trigger positions) is skipped; raster_fwd below runs the
-        # full kernel when differentiating.
+        # full kernel when differentiating. With strict_termination=False
+        # the per-pixel break machinery is dropped too (bounded-error
+        # fast path — training still differentiates the strict kernel).
         tiles, _ = _pallas_forward(features, starts, ends, offset, cfg,
-                                   interpret, need_aux=False)
+                                   interpret, need_aux=False,
+                                   relaxed=not cfg.strict_termination)
         return tiles.transpose(0, 2, 1)  # (T_local, NPIX, 4)
 
     def raster_fwd(features, starts, ends, offset):

@@ -124,6 +124,20 @@ class RasterConfig:
     # path when each device's strip covers whole group rows
     # (rows-per-device % tile_group == 0).
     tile_group: int = 1
+    # Exact reference break semantics in the INFERENCE (non-differentiated)
+    # Pallas forward: a pixel freezes its transmittance at the first
+    # contributor whose post-blend T would drop below transmittance_eps,
+    # BEFORE blending it (reference codelets.cpp:405-408). With False, the
+    # inference kernel replaces the per-pixel stop tracking (trigger
+    # detection, transmittance freeze, stopped mask — ~20% of the VPU
+    # passes per chunk) with a single weight gate test_t >= eps, which by
+    # monotonicity of the transmittance excludes exactly the same pairs:
+    # the COLOUR channels match the strict kernel bit-for-bit; only the
+    # alpha channel (and a non-black background's weight) decays past the
+    # strict frozen value, bounded by transmittance_eps/(1 - alpha_clamp)
+    # (tests/test_pallas_rasterize.py asserts both). Training always uses
+    # strict semantics (the backward replay depends on trigger positions).
+    strict_termination: bool = True
     # Cap the SH band actually evaluated (-1 = the model's full degree).
     # Training schedules raise this progressively (standard 3DGS: one band
     # per 1000 iterations) — it is static, so each bump recompiles once.
