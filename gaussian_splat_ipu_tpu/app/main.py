@@ -61,6 +61,12 @@ def parse_args(argv=None):
     p.add_argument("--antialias", action="store_true",
                    help="energy-conserving lowpass (Mip-Splatting): "
                         "sub-pixel splats fade instead of brightening")
+    p.add_argument("--strict-termination", action="store_true",
+                   help="exact reference break semantics in the kernel "
+                        "(codelets.cpp:405-408). Default off: the fast "
+                        "inference kernel is colour-identical and only the "
+                        "coverage (alpha) channel may exceed the strict "
+                        "value by <= eps/(1-alpha_clamp)")
     p.add_argument("--compile-cache", default="",
                    help="persistent XLA compile cache dir "
                         "(saveExe/loadExe parity)")
@@ -148,7 +154,8 @@ def main(argv=None) -> int:
                        pair_capacity=args.pair_capacity,
                        exact_tile_test=args.exact_tiles,
                        antialias=args.antialias,
-                       tile_group=args.tile_group)
+                       tile_group=args.tile_group,
+                       strict_termination=args.strict_termination)
     runtime_cfg = RuntimeConfig(
         compile_cache_dir=args.compile_cache,
         use_cpu_model=(args.device != "tpu"))
