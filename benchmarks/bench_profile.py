@@ -160,13 +160,17 @@ def main():
     def s_gather_only(a, packed, gid_pre):
         gid_pre = gid_pre + (a * 0).astype(jnp.int32)
         table = packed[gid_pre]
-        return jnp.sum(table[::257]) * 1e-9
+        # Consume the WHOLE result: a strided slice could let XLA narrow
+        # the gather itself; unused outputs would be DCE'd entirely.
+        return jnp.sum(table) * 1e-9
 
     def s_sort_only(a, key, gid_pre, cols):
         key = key + (a * 0).astype(jnp.int32)
         out = jax.lax.sort(tuple([key, gid_pre] + [cols[i] for i in
                                                    range(10)]), num_keys=1)
-        return jnp.sum(out[2][::257]) * 1e-9
+        # Consume EVERY operand: an unused carried column is DCE'd and the
+        # sort silently degrades to a key-only sort (cheaper by far).
+        return sum(jnp.sum(o.astype(jnp.float32)) for o in out) * 1e-9
 
     def s_csr(a, tile_s):
         tile_s = tile_s + (a * 0).astype(jnp.int32)

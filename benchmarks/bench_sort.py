@@ -18,6 +18,9 @@ import numpy as np
 
 
 def main():
+    import os
+    import sys
+
     import jax
     import jax.numpy as jnp
 
@@ -25,8 +28,13 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     print("devices:", jax.devices(), flush=True)
 
-    P = 1 << 22
-    N = 1 << 20
+    # Scale via argv (default 2^20 pairs: compiles in reasonable time
+    # through the tunnel; costs here scale linearly in P). GSPLAT_CASES
+    # is a comma-separated name filter for per-case subprocess isolation.
+    P = 1 << (int(sys.argv[1]) if len(sys.argv) > 1 else 20)
+    N = P >> 2
+    cases = {s.strip() for s in os.environ.get("GSPLAT_CASES", "").split(",")
+             if s.strip()}
     rng = np.random.default_rng(0)
     gid = jnp.asarray(rng.integers(0, N, P, dtype=np.int32))
     cols = [jnp.asarray(rng.normal(size=P).astype(np.float32))
@@ -36,6 +44,9 @@ def main():
 
     def timed(name, fn, x0):
         """fn: carry -> carry (same shape/dtype); two-point over a scan."""
+        if cases and name.split(":")[0] not in cases:
+            return None
+
         def chain(k):
             @jax.jit
             def run(c0):
@@ -45,7 +56,7 @@ def main():
                 return c.astype(jnp.float32).sum()
             return run
 
-        k1, k2 = 1, 5
+        k1, k2 = 1, 4
         j1, j2 = chain(k1), chain(k2)
         float(j1(x0))
         float(j2(x0))
@@ -65,42 +76,75 @@ def main():
         # cheap key refresh so chained iterations aren't degenerate
         return ((k * 1103515245 + 12345) & (width - 1)).astype(jnp.int32)
 
+    def fold(out, skip=1):
+        # Data-dependency on EVERY sort output: an unused carried column
+        # is DCE'd and the sort silently degrades to a key-only sort.
+        s = sum(jnp.sum(o.astype(jnp.float32)) for o in out[skip:])
+        return out[0] + (s * 1e-30).astype(jnp.int32)
+
     key31 = jnp.asarray(rng.integers(0, 1 << 31, P, dtype=np.int32))
     key12 = jnp.asarray(rng.integers(0, 2048, P, dtype=np.int32))
     nkey = jnp.asarray(rng.integers(0, 1 << 31, N, dtype=np.int32))
 
     # (a) current fused path: 31-bit key, 12 operands over P
-    timed("fused 31-bit key, 12 operands, P=2^22",
-          lambda k: perturb(jax.lax.sort(tuple([k, gid] + cols),
-                                         num_keys=1)[0], 1 << 31), key31)
+    timed("fused: 31-bit key, 12 operands",
+          lambda k: perturb(fold(jax.lax.sort(tuple([k, gid] + cols),
+                                              num_keys=1)), 1 << 31), key31)
     # (b) small-range tile-only key, same operands
-    timed("tile-only key (range 2048), 12 operands",
-          lambda k: perturb(jax.lax.sort(tuple([k, gid] + cols),
-                                         num_keys=1)[0], 2048), key12)
+    timed("tileonly: small-range key, 12 operands",
+          lambda k: perturb(fold(jax.lax.sort(tuple([k, gid] + cols),
+                                              num_keys=1)), 2048), key12)
     # (c) key+gid sort then a (P,10) row gather
     def sort_gather(k):
         ks, gs = jax.lax.sort((k, gid), num_keys=1)
-        mix = jax.lax.bitcast_convert_type(colmat[gs].sum(-1), jnp.int32)
-        return perturb(ks ^ (mix & 1), 1 << 31)
+        mix = (jnp.sum(colmat[gs]) * 1e-30).astype(jnp.int32)
+        return perturb(ks + mix, 1 << 31)
 
-    timed("key+gid sort + (P,10) row gather", sort_gather, key31)
+    timed("sortgather: key+gid sort + (P,10) row gather", sort_gather, key31)
     # (d) the presort's N-scale cost: 2-op sort over N + (N,12) gather
     def npresort(k):
         ks, perm = jax.lax.sort(
             (k, jnp.arange(N, dtype=jnp.int32)), num_keys=1)
-        mix = jax.lax.bitcast_convert_type(nbody[perm].sum(-1), jnp.int32)
-        return perturb(ks ^ (mix & 1), 1 << 31)
+        mix = (jnp.sum(nbody[perm]) * 1e-30).astype(jnp.int32)
+        return perturb(ks + mix, 1 << 31)
 
-    timed("N=2^20 presort (2 ops) + (N,12) gather", npresort, nkey)
+    timed("npresort: N-scale 2-op sort + (N,12) gather", npresort, nkey)
     # (e) key width scaling with minimal operands
-    timed("i32 31-bit key + gid only",
-          lambda k: perturb(jax.lax.sort((k, gid), num_keys=1)[0],
+    timed("key31gid: 31-bit key + gid only",
+          lambda k: perturb(fold(jax.lax.sort((k, gid), num_keys=1)),
                             1 << 31), key31)
-    timed("i32 11-bit key + gid only",
-          lambda k: perturb(jax.lax.sort((k, gid), num_keys=1)[0], 2048),
+    timed("key11gid: 11-bit key + gid only",
+          lambda k: perturb(fold(jax.lax.sort((k, gid), num_keys=1)), 2048),
           key12)
     # (f) pure expansion-side costs for context
-    timed("cummax over P", lambda k: jax.lax.cummax(k), key31)
+    timed("cummax: over P", lambda k: jax.lax.cummax(k), key31)
+    # (g) standalone (P,) element gather and (P, 12) row gather. The index
+    # must depend on the carry or the whole gather is hoisted out of the
+    # chained scan as loop-invariant.
+    idxp = jnp.asarray(rng.integers(0, N, P, dtype=np.int32))
+
+    def g_elem(k):
+        idx = (idxp ^ (k[0] & 1)) & (N - 1)
+        return perturb(k + nkey[idx], 1 << 31)
+
+    timed("egather: (P,) element gather from (N,)", g_elem, key31)
+
+    def g_rows(k):
+        idx = (idxp ^ (k[0] & 1)) & (N - 1)
+        s = (jnp.sum(nbody[idx], axis=-1) * 1e-30).astype(jnp.int32)
+        return perturb(k + s, 1 << 31)
+
+    timed("rgather: (P,12) row gather from (N,12)", g_rows, key31)
+    # (h) ascending (run-length) row gather: the binning expansion's
+    # actual access pattern (gid_pre is sorted).
+    idxa = jnp.sort(idxp)
+
+    def g_rows_asc(k):
+        idx = (idxa ^ (k[0] & 1)) & (N - 1)
+        s = (jnp.sum(nbody[idx], axis=-1) * 1e-30).astype(jnp.int32)
+        return perturb(k + s, 1 << 31)
+
+    timed("rgatherasc: (P,12) ascending row gather", g_rows_asc, key31)
 
 
 if __name__ == "__main__":
