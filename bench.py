@@ -94,7 +94,14 @@ def main():
 
     model, bb_min, bb_max = load_model_and_bounds()
     n = model.num_gaussians
-    cfg = RasterConfig(image_width=WIDTH, image_height=HEIGHT)
+    # strict_termination=False is the inference kernel: colour-exact vs
+    # the strict kernel (monotone transmittance argument, see
+    # render/kernels/rasterize.py and tests/test_pallas_rasterize.py::
+    # test_relaxed_termination_colour_exact), residual alpha bounded by
+    # eps/(1-alpha_clamp). The training bench below keeps the strict
+    # kernel (it is what the custom VJP replays).
+    cfg = RasterConfig(image_width=WIDTH, image_height=HEIGHT,
+                       strict_termination=False)
     fov = float(np.radians(40.0))
     aspect = WIDTH / HEIGHT
 
@@ -202,6 +209,7 @@ def main():
         "pair_capacity": cfg.pair_capacity,
         "train_step_ms_640x360": round(train_ms, 2),
         "median_of": 5,
+        "strict_termination": False,
     }))
 
 

@@ -108,42 +108,52 @@ def main():
     base_tt = dataclasses.replace(base, exact_tile_test=True)
     base_g2 = dataclasses.replace(base, tile_group=2)
     base_g4 = dataclasses.replace(base, tile_group=4)
-    demand, tight = probe(base)
-    demand_tt, tight_tt = probe(base_tt)
-    demand_g2, tight_g2 = probe(base_g2)
-    demand_g4, tight_g4 = probe(base_g4)
-    print(f"pair demand {demand} -> tight {tight}; with tile test "
-          f"{demand_tt} ({1 - demand_tt / max(demand, 1):.1%} cut) "
-          f"-> {tight_tt}; group2 {demand_g2} "
-          f"({1 - demand_g2 / max(demand, 1):.1%} cut) -> {tight_g2}; "
-          f"group4 {demand_g4} "
-          f"({1 - demand_g4 / max(demand, 1):.1%} cut) -> {tight_g4}",
-          flush=True)
+
+    # Probe LAZILY: each demand probe is a full 1M-scale render compile
+    # through the tunnel (minutes) — only pay for the probe configs the
+    # requested variants actually reference.
+    probes = {}
+
+    def probed(key, cfg):
+        if key not in probes:
+            d, cap = probe(cfg)
+            probes[key] = (d, cap)
+            print(f"pair demand[{key}] {d} -> tight {cap}", flush=True)
+        return probes[key]
 
     variants = {
-        "fused_full": base,
-        "fused_tight": dataclasses.replace(base, pair_capacity=tight),
-        "presort_tight": dataclasses.replace(base, pair_capacity=tight,
-                                             presort_depth=True),
-        "exact2pass_tight": dataclasses.replace(base, pair_capacity=tight,
-                                                fused_sort_key=False),
-        "fused_tight_tiletest": dataclasses.replace(
-            base_tt, pair_capacity=tight_tt),
-        "presort_tight_tiletest": dataclasses.replace(
-            base_tt, pair_capacity=tight_tt, presort_depth=True),
+        "fused_full": lambda: base,
+        "fused_tight": lambda: dataclasses.replace(
+            base, pair_capacity=probed("base", base)[1]),
+        "presort_tight": lambda: dataclasses.replace(
+            base, pair_capacity=probed("base", base)[1],
+            presort_depth=True),
+        "exact2pass_tight": lambda: dataclasses.replace(
+            base, pair_capacity=probed("base", base)[1],
+            fused_sort_key=False),
+        "fused_tight_tiletest": lambda: dataclasses.replace(
+            base_tt, pair_capacity=probed("tiletest", base_tt)[1]),
+        "presort_tight_tiletest": lambda: dataclasses.replace(
+            base_tt, pair_capacity=probed("tiletest", base_tt)[1],
+            presort_depth=True),
         # GS-TG-style super-tile binning: fewer pairs through every
         # O(P) pass + the sort; compositing reads group ranges.
-        "fused_tight_group2": dataclasses.replace(
-            base_g2, pair_capacity=tight_g2),
-        "presort_tight_group2": dataclasses.replace(
-            base_g2, pair_capacity=tight_g2, presort_depth=True),
-        "fused_tight_group4": dataclasses.replace(
-            base_g4, pair_capacity=tight_g4),
+        "fused_tight_group2": lambda: dataclasses.replace(
+            base_g2, pair_capacity=probed("group2", base_g2)[1]),
+        "presort_tight_group2": lambda: dataclasses.replace(
+            base_g2, pair_capacity=probed("group2", base_g2)[1],
+            presort_depth=True),
+        "fused_tight_group4": lambda: dataclasses.replace(
+            base_g4, pair_capacity=probed("group4", base_g4)[1]),
+        "presort_tight_group4": lambda: dataclasses.replace(
+            base_g4, pair_capacity=probed("group4", base_g4)[1],
+            presort_depth=True),
     }
     only = os.environ.get("GSPLAT_VARIANTS", "")
     if only:
         keep = {s.strip() for s in only.split(",") if s.strip()}
         variants = {k: v for k, v in variants.items() if k in keep}
+    variants = {k: make() for k, make in variants.items()}
     results = {}
     for name, cfg in variants.items():
         def frame(m, cam, cfg=cfg):
@@ -154,10 +164,8 @@ def main():
         results[name] = round(1e3 * dt, 2)
         print(f"{name}: {1e3 * dt:.2f} ms/frame", flush=True)
 
-    print(json.dumps({"n_gaussians": n, "demand": demand,
-                      "demand_tiletest": demand_tt,
-                      "demand_group2": demand_g2,
-                      "demand_group4": demand_g4,
+    print(json.dumps({"n_gaussians": n,
+                      "demand": {k: v[0] for k, v in probes.items()},
                       "ms_per_frame": results}))
 
 

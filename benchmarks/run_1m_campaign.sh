@@ -26,9 +26,9 @@ wait_alive() {
 for v in "${VARIANTS[@]}"; do
   wait_alive || { echo "[campaign] device never recovered; abort"; exit 1; }
   echo "[campaign] === $v ==="
-  GSPLAT_VARIANTS="$v" PYTHONUNBUFFERED=1 timeout 900 \
+  GSPLAT_VARIANTS="$v" PYTHONUNBUFFERED=1 timeout "${VARIANT_TIMEOUT:-1500}" \
     python benchmarks/bench_1m.py "${N_GAUSSIANS:-1048576}" \
-    2>&1 | grep -v WARNING
+    2>&1 | stdbuf -oL grep -v WARNING
   rc=$?
   [ $rc -ne 0 ] && echo "[campaign] $v exited rc=$rc"
 done
