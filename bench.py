@@ -94,14 +94,14 @@ def main():
 
     model, bb_min, bb_max = load_model_and_bounds()
     n = model.num_gaussians
-    # strict_termination=False is the inference kernel: colour-exact vs
-    # the strict kernel (monotone transmittance argument, see
-    # render/kernels/rasterize.py and tests/test_pallas_rasterize.py::
-    # test_relaxed_termination_colour_exact), residual alpha bounded by
-    # eps/(1-alpha_clamp). The training bench below keeps the strict
-    # kernel (it is what the custom VJP replays).
-    cfg = RasterConfig(image_width=WIDTH, image_height=HEIGHT,
-                       strict_termination=False)
+    # The headline stays on the STRICT kernel so the fps series is
+    # continuous with the r1/r2 records; the relaxed inference kernel
+    # (strict_termination=False — colour channels match strict bit-for-bit
+    # on the default black background, alpha bounded by eps/(1-alpha_clamp);
+    # tests/test_pallas_rasterize.py::test_relaxed_termination_bounded_error)
+    # is reported alongside as fps_relaxed. Training always uses strict
+    # (the custom VJP replays trigger positions).
+    cfg = RasterConfig(image_width=WIDTH, image_height=HEIGHT)
     fov = float(np.radians(40.0))
     aspect = WIDTH / HEIGHT
 
@@ -127,35 +127,41 @@ def main():
     if cap < cfg.pair_capacity:
         cfg = dataclasses.replace(cfg, pair_capacity=cap)
 
-    def frames(model, angles):
-        def body(acc, a):
-            cam = Camera.orbit(bb_min, bb_max, fov, aspect, rot_y_deg=a)
-            out = render(model, cam, cfg, True)
-            # Consume every channel so nothing is dead-code-eliminated.
-            return acc + out.image.mean(), None
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0), angles)
-        return acc
+    def fps_for(render_cfg):
+        def frames(model, angles):
+            def body(acc, a):
+                cam = Camera.orbit(bb_min, bb_max, fov, aspect,
+                                   rot_y_deg=a)
+                out = render(model, cam, render_cfg, True)
+                # Consume every channel so nothing is DCE'd.
+                return acc + out.image.mean(), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), angles)
+            return acc
 
-    jf = jax.jit(frames)
-    a1 = jnp.linspace(0.0, 360.0, K1, dtype=jnp.float32)
-    a2 = jnp.linspace(0.0, 360.0, K2, dtype=jnp.float32)
-    float(jf(model, a1))  # compile + warm
-    float(jf(model, a2))
+        jf = jax.jit(frames)
+        a1 = jnp.linspace(0.0, 360.0, K1, dtype=jnp.float32)
+        a2 = jnp.linspace(0.0, 360.0, K2, dtype=jnp.float32)
+        float(jf(model, a1))  # compile + warm
+        float(jf(model, a2))
 
-    def measure_once():
-        t0 = time.perf_counter()
-        v1 = float(jf(model, a1))
-        t1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        v2 = float(jf(model, a2))
-        t2 = time.perf_counter() - t0
-        assert np.isfinite(v1) and np.isfinite(v2)
-        return (t2 - t1) / (K2 - K1)
+        def measure_once():
+            t0 = time.perf_counter()
+            v1 = float(jf(model, a1))
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            v2 = float(jf(model, a2))
+            t2 = time.perf_counter() - t0
+            assert np.isfinite(v1) and np.isfinite(v2)
+            return (t2 - t1) / (K2 - K1)
 
-    # Median of 5 two-point measurements: one sample is vulnerable to a
-    # tunnel hiccup or a co-scheduled host burst (VERDICT r1 weak #1).
-    per_frame = float(np.median([measure_once() for _ in range(5)]))
-    fps = 1.0 / per_frame
+        # Median of 5 two-point measurements: one sample is vulnerable to
+        # a tunnel hiccup or a co-scheduled host burst (VERDICT r1 weak #1).
+        per_frame = float(np.median([measure_once() for _ in range(5)]))
+        return 1.0 / per_frame
+
+    fps = fps_for(cfg)
+    fps_relaxed = fps_for(dataclasses.replace(cfg,
+                                              strict_termination=False))
 
     # Secondary headline: training-step latency (north-star config 3) on
     # the same scene at 640x360 — K chained steps in one program, same
@@ -198,18 +204,69 @@ def main():
 
     train_ms = 1e3 * float(np.median([measure_train() for _ in range(3)]))
 
+    # Third headline: the 1M-gaussian frame (north-star config 5 scale,
+    # reference README.md:8-17 "millions of gaussians") — synthetic scene,
+    # demand-probed chunk-aligned capacity, strict kernel, two-point
+    # chained-scan timing. Guards the scale the north star names
+    # (VERDICT r3 next #3).
+    from gaussian_splat_ipu_tpu.models.gaussians import GaussianModel
+    n1m = 1 << 20
+    model_1m = GaussianModel.random(jax.random.PRNGKey(0), n1m, extent=1.0)
+    bb1 = np.array([1.0, 1.0, 1.0], np.float32)
+    cfg_1m = RasterConfig(image_width=WIDTH, image_height=HEIGHT,
+                          pair_capacity=1 << 22)
+
+    def demand_1m(m, a):
+        out = render(m, Camera.orbit(-bb1, bb1, fov, aspect, rot_y_deg=a),
+                     cfg_1m, True)
+        return out.num_pairs + out.overflow
+
+    d1m = int(jax.jit(demand_1m)(model_1m, jnp.float32(0.0)))
+    cap_1m = max(-(-int(1.15 * d1m) // cfg_1m.chunk_size)
+                 * cfg_1m.chunk_size, 4 * cfg_1m.chunk_size)
+    cfg_1m = dataclasses.replace(cfg_1m, pair_capacity=cap_1m)
+
+    def frames_1m(m, angles):
+        def body(acc, a):
+            cam = Camera.orbit(-bb1, bb1, fov, aspect, rot_y_deg=a)
+            out = render(m, cam, cfg_1m, True)
+            return acc + out.image[::97, ::97].sum(), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), angles)
+        return acc
+
+    jf1m = jax.jit(frames_1m)
+    b1 = jnp.linspace(0.0, 90.0, 1, dtype=jnp.float32)
+    b2 = jnp.linspace(0.0, 90.0, 7, dtype=jnp.float32)
+    float(jf1m(model_1m, b1))
+    float(jf1m(model_1m, b2))
+
+    def measure_1m():
+        t0 = time.perf_counter()
+        float(jf1m(model_1m, b1))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(jf1m(model_1m, b2))
+        t2 = time.perf_counter() - t0
+        return (t2 - t1) / 6.0
+
+    ms_1m = 1e3 * float(np.median([measure_1m() for _ in range(3)]))
+
     # ONE JSON line (driver contract); auxiliary metrics ride as extra
-    # keys so the measurement is reproducible (pair capacity pinned) and
-    # config-3 latency is on the record too.
+    # keys: the relaxed-kernel fps (same scene/capacity), the 1M-gaussian
+    # frame time, the pinned capacities, and config-3 latency — so every
+    # headline scale is on the record and reproducible.
     print(json.dumps({
         "metric": f"forward_fps_1280x720_{n}g",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "fps_relaxed": round(fps_relaxed, 2),
         "pair_capacity": cfg.pair_capacity,
         "train_step_ms_640x360": round(train_ms, 2),
+        "frame_ms_1m_720p": round(ms_1m, 2),
+        "pair_capacity_1m": cap_1m,
         "median_of": 5,
-        "strict_termination": False,
+        "strict_termination": True,
     }))
 
 

@@ -108,6 +108,8 @@ def main():
     base_tt = dataclasses.replace(base, exact_tile_test=True)
     base_g2 = dataclasses.replace(base, tile_group=2)
     base_g4 = dataclasses.replace(base, tile_group=4)
+    base_g2_tt = dataclasses.replace(base_g2, exact_tile_test=True)
+    base_g4_tt = dataclasses.replace(base_g4, exact_tile_test=True)
 
     # Probe LAZILY: each demand probe is a full 1M-scale render compile
     # through the tunnel (minutes) — only pay for the probe configs the
@@ -148,6 +150,12 @@ def main():
         "presort_tight_group4": lambda: dataclasses.replace(
             base_g4, pair_capacity=probed("group4", base_g4)[1],
             presort_depth=True),
+        # Composed group + exact coverage mask (group-cell ellipse test):
+        # both pair-cutting levers stacked (VERDICT r3 #8).
+        "fused_tight_group2_tt": lambda: dataclasses.replace(
+            base_g2_tt, pair_capacity=probed("group2_tt", base_g2_tt)[1]),
+        "fused_tight_group4_tt": lambda: dataclasses.replace(
+            base_g4_tt, pair_capacity=probed("group4_tt", base_g4_tt)[1]),
     }
     only = os.environ.get("GSPLAT_VARIANTS", "")
     if only:
@@ -164,9 +172,17 @@ def main():
         results[name] = round(1e3 * dt, 2)
         print(f"{name}: {1e3 * dt:.2f} ms/frame", flush=True)
 
-    print(json.dumps({"n_gaussians": n,
-                      "demand": {k: v[0] for k, v in probes.items()},
-                      "ms_per_frame": results}))
+    record = {"n_gaussians": n,
+              "demand": {k: v[0] for k, v in probes.items()},
+              "ms_per_frame": results}
+    # Back-compat flat keys (pre-r3 schema) for any consumer of the old
+    # records: demand / demand_tiletest / demand_group2 / demand_group4.
+    flat = {"base": "demand", "tiletest": "demand_tiletest",
+            "group2": "demand_group2", "group4": "demand_group4"}
+    for k, name in flat.items():
+        if k in probes:
+            record[name] = probes[k][0]
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

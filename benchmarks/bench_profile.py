@@ -40,12 +40,21 @@ def main():
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 20
     cap_log2 = int(sys.argv[2]) if len(sys.argv) > 2 else 22
+    # Optional binning-config overrides so the profile can be taken at the
+    # production config (e.g. GSPLAT_TILE_GROUP=2 GSPLAT_PAIR_CAP=2305536).
+    tile_group = int(os.environ.get("GSPLAT_TILE_GROUP", "1"))
+    cap = int(os.environ.get("GSPLAT_PAIR_CAP", str(1 << cap_log2)))
+    relaxed = os.environ.get("GSPLAT_RELAXED", "") == "1"
     print("devices:", jax.devices(), flush=True)
     model = GaussianModel.random(jax.random.PRNGKey(0), n, extent=1.0)
     bb = np.array([1.0, 1.0, 1.0], np.float32)
     fov = float(np.radians(40.0))
     cfg = RasterConfig(image_width=WIDTH, image_height=HEIGHT,
-                       pair_capacity=1 << cap_log2)
+                       pair_capacity=-(-cap // 128) * 128,
+                       tile_group=tile_group,
+                       strict_termination=not relaxed)
+    print(f"config: tile_group={tile_group} pair_capacity="
+          f"{cfg.pair_capacity} strict={not relaxed}", flush=True)
 
     def cam_of(a):
         return Camera.orbit(-bb, bb, fov, WIDTH / HEIGHT, rot_y_deg=a)

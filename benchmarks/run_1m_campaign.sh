@@ -2,12 +2,15 @@
 # Per-variant subprocess isolation for bench_1m: a wedged tunnel op kills
 # only that variant's process; we poll liveness and move on. Usage:
 #   bash benchmarks/run_1m_campaign.sh [variant ...]
+set -o pipefail
 cd "$(dirname "$0")/.."
 VARIANTS=("$@")
 if [ ${#VARIANTS[@]} -eq 0 ]; then
   VARIANTS=(fused_full fused_tight presort_tight exact2pass_tight \
             fused_tight_tiletest presort_tight_tiletest \
-            fused_tight_group2 presort_tight_group2 fused_tight_group4)
+            fused_tight_group2 presort_tight_group2 \
+            fused_tight_group4 presort_tight_group4 \
+            fused_tight_group2_tt fused_tight_group4_tt)
 fi
 probe() {
   timeout 60 python -c "

@@ -48,7 +48,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--exact-tiles", action="store_true",
                    help="exact tile-ellipse coverage test (fewer pairs)")
     p.add_argument("--tile-group", type=int, default=1,
-                   help="bin pairs over KxK super-tiles (exclusive with "
+                   help="bin pairs over KxK super-tiles (composes with "
                         "--exact-tiles)")
     p.add_argument("--antialias", action="store_true",
                    help="energy-conserving lowpass — match a scene "
@@ -80,9 +80,6 @@ def select_split(n: int, split: str, k: int):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    if args.tile_group > 1 and args.exact_tiles:
-        # Fail fast, before the (potentially long) dataset decode.
-        raise SystemExit("--tile-group and --exact-tiles are exclusive")
 
     import jax
     import jax.numpy as jnp

@@ -35,6 +35,12 @@ def parse_args(argv=None):
                    choices=["tpu", "cpu", "points"],
                    help="tpu = Pallas kernels; cpu = jnp fallback; points = "
                         "1-px point splats (reference --device cpu parity)")
+    p.add_argument("--distributed", type=int, default=0, metavar="N",
+                   help="shard gaussians + framebuffer tile rows across an "
+                        "N-device mesh (render_sharded: per-destination "
+                        "all_to_all splat exchange). 0 = single device. "
+                        "Pixel-identical to single-device; adds exchange-"
+                        "overflow drop telemetry to the UI histogram")
     p.add_argument("--width", type=int, default=1280)
     p.add_argument("--height", type=int, default=720)
     p.add_argument("--fov", type=float, default=40.0, help="degrees")
@@ -56,8 +62,9 @@ def parse_args(argv=None):
                         "identical image)")
     p.add_argument("--tile-group", type=int, default=1,
                    help="bin pairs over KxK super-tiles (GS-TG-style "
-                        "sort reduction; 1 = off, exclusive with "
-                        "--exact-tiles)")
+                        "sort reduction; 1 = off; composes with "
+                        "--exact-tiles: the coverage mask then tests "
+                        "KxK-tile cells)")
     p.add_argument("--antialias", action="store_true",
                    help="energy-conserving lowpass (Mip-Splatting): "
                         "sub-pixel splats fade instead of brightening")
@@ -148,8 +155,6 @@ def main(argv=None) -> int:
     elif args.pair_capacity == 0:
         args.pair_capacity = 1 << 12  # points path never builds pairs
 
-    if args.tile_group > 1 and args.exact_tiles:
-        raise SystemExit("--tile-group and --exact-tiles are exclusive")
     cfg = RasterConfig(image_width=args.width, image_height=args.height,
                        pair_capacity=args.pair_capacity,
                        exact_tile_test=args.exact_tiles,
@@ -178,16 +183,52 @@ def main(argv=None) -> int:
 
     use_pallas = args.device == "tpu"
 
+    # Distributed interactive rendering (reference flagship loop,
+    # splat.cpp:245-322, at mesh scale): gaussians + framebuffer tile rows
+    # sharded across the mesh, per-destination all_to_all splat exchange,
+    # pixel-identical to the single-device pipeline (tests/
+    # test_interactive_app.py asserts the PNG matches bit-for-bit).
+    mesh = None
+    if args.distributed > 1:
+        if args.device == "points":
+            raise SystemExit("--distributed requires the splat pipeline "
+                             "(--device tpu or cpu)")
+        from gaussian_splat_ipu_tpu.parallel import distributed as dist_lib
+        from gaussian_splat_ipu_tpu.parallel import mesh as mesh_lib
+        mesh = mesh_lib.make_mesh(args.distributed)
+        model = mesh_lib.shard_model(model, mesh)
+        log.info("distributed: %d-device mesh, %d tile rows per device",
+                 args.distributed,
+                 dist_lib._rows_per_device(cfg, args.distributed))
+
     def splat_fn(m, state):
         cam = make_camera(state)
+        if mesh is not None:
+            # Correctness-first capacities for an INTERACTIVE viewer (the
+            # camera is arbitrary, so worst-case concentration — every
+            # splat on one device's strip — must not drop pairs): each
+            # device gets the full --pair-capacity table, and exchange
+            # buckets sized 2x the even share x mesh size (a splat
+            # spanning k strips makes k pairs). Training keeps the lean
+            # even-share defaults; here the cost is memory, not time
+            # (binning passes are O(capacity) per device either way).
+            nloc = -(-m.num_gaussians // args.distributed)
+            out = dist_lib.render_sharded(
+                m, cam, cfg, mesh, use_pallas=use_pallas,
+                pair_capacity=cfg.pair_capacity,
+                exchange_capacity=2 * nloc)
+            # Crop phantom tile rows (tiles_y padded to the mesh size).
+            return (out.image, out.tile_counts[:cfg.num_tiles],
+                    out.overflow, out.truncated, out.exchange_overflow)
         out = render(m, cam, cfg, use_pallas)
-        return out.image, out.tile_counts, out.overflow, out.truncated
+        return (out.image, out.tile_counts, out.overflow, out.truncated,
+                np.int32(0))
 
     def points_fn(m, state):
         cam = make_camera(state)
         out = points_render.render_points(m, cam, cfg)
         return (out.image, points_render.tile_histogram(m, cam, cfg),
-                np.int32(0), np.int32(0))
+                np.int32(0), np.int32(0), np.int32(0))
 
     state0 = {"fov": fov, "rx": 0.0, "ry": 0.0, "x": 0.0, "y": 0.0,
               "z": 0.0, "erx": 0.0, "ery": 0.0}
@@ -219,7 +260,8 @@ def main(argv=None) -> int:
     interactive = ui is not None and args.frames == 0
     inflight = collections.deque()
     t_last_retire = None
-    drop_counts = [(0, 0)]  # (overflow, truncated), telemetry cadence
+    # (overflow, truncated, exchange_overflow), telemetry cadence
+    drop_counts = [(0, 0, 0)]
     last_image = None
     n_retired = 0
     if args.dump_frames:
@@ -260,31 +302,36 @@ def main(argv=None) -> int:
             # round-trip; on a local chip it overlaps host work with
             # device compute (the reference overlaps its UI thread the
             # same way, splat.cpp:207-225).
-            image_d, counts_d, ovf_d, trunc_d = engine.run(
+            image_d, counts_d, ovf_d, trunc_d, xovf_d = engine.run(
                 program, model,
                 {k: np.float32(v) for k, v in state.items()})
-            inflight.append((image_d, counts_d, ovf_d, trunc_d,
+            inflight.append((image_d, counts_d, ovf_d, trunc_d, xovf_d,
                              time.perf_counter()))
 
             def retire_one():
                 nonlocal t_last_retire, last_image, n_retired
-                img_d, cnt_d, ovf_d, trc_d, t_submit = inflight.popleft()
+                (img_d, cnt_d, ovf_d, trc_d, xov_d,
+                 t_submit) = inflight.popleft()
                 img_d.block_until_ready()
                 # Guarded-overflow telemetry (reference discipline,
                 # codelets.cpp:487-490): zoom-in can exceed the pair table
                 # or per-tile work bound; warn instead of silently dropping
-                # splats. Rate-limited to the logging cadence.
-                if i % 30 == 0:
+                # splats. Rate-limited to the logging cadence; keyed to the
+                # RETIRE count so the first frame of even a 1-frame run is
+                # checked.
+                if n_retired % 30 == 0:
                     # Each scalar fetch is a full device round trip
                     # (~40 ms over the tunnel): refresh on the telemetry
                     # cadence only and reuse for the UI histogram below.
-                    drop_counts[0] = (int(ovf_d), int(trc_d))
-                    ovf, trc = drop_counts[0]
-                    if ovf or trc:
+                    drop_counts[0] = (int(ovf_d), int(trc_d), int(xov_d))
+                    ovf, trc, xov = drop_counts[0]
+                    if ovf or trc or xov:
                         log.warning(
                             "frame %d: dropped splat pairs (overflow=%d "
                             "over --pair-capacity, truncated=%d past the "
-                            "per-tile work bound)", i, ovf, trc)
+                            "per-tile work bound, exchange_overflow=%d at "
+                            "the all_to_all bucket capacity)",
+                            i, ovf, trc, xov)
                 if args.dump_frames:
                     image_util.write_png(
                         os.path.join(args.dump_frames,
@@ -310,11 +357,12 @@ def main(argv=None) -> int:
 
                     def push(img=img_host, cnt=cnt_host, ex=exposure,
                              gm=gamma, ov=drop_counts[0][0],
-                             tr=drop_counts[0][1]):
+                             tr=drop_counts[0][1], xo=drop_counts[0][2]):
                         # Continuous video stream (long-lived encoder,
                         # ui/stream.py) — not independent stills.
                         ui.send_video_frame(img, ex, gm)
-                        ui.send_histogram(cnt, overflow=ov, truncated=tr)
+                        ui.send_histogram(cnt, overflow=ov, truncated=tr,
+                                          exchange_overflow=xo)
 
                     ui_task.run(push)
 

@@ -100,7 +100,7 @@ def parse_args(argv=None):
                         "identical image)")
     p.add_argument("--tile-group", type=int, default=1,
                    help="bin pairs over KxK super-tiles (GS-TG-style "
-                        "sort reduction; exclusive with --exact-tiles; "
+                        "sort reduction; composes with --exact-tiles; "
                         "with --distributed, rows-per-device must be a "
                         "multiple of K)")
     p.add_argument("--antialias", action="store_true",
@@ -157,8 +157,6 @@ def main(argv=None) -> int:
 
     if not args.input and not args.dataset:
         raise SystemExit("one of --input / --dataset is required")
-    if args.tile_group > 1 and args.exact_tiles:
-        raise SystemExit("--tile-group and --exact-tiles are exclusive")
     # --tile-group composes with --distributed when each device's row
     # strip covers whole group rows; binning raises a clear ValueError
     # otherwise (rows-per-device % group != 0).
@@ -639,7 +637,37 @@ def main(argv=None) -> int:
 
     t0 = time.perf_counter()
     loss = None
-    vb_stats = None
+    # View-batch drop accounting: device scalars per step are queued
+    # (fetching them eagerly would sync every step) and drained into
+    # host-side RUNNING sums at each log interval — overflow in ANY step
+    # corrupts that step's gradients, so it must warn mid-run, not only
+    # at the end (the densify path's per-event probe discipline).
+    vb_drops = {"exchange_overflow": 0, "overflow": 0, "truncated": 0}
+    vb_pending = []
+
+    def drain_vb_stats(step_i, keep=0):
+        """Fold queued per-step drop counters into the running sums.
+
+        keep > 0 leaves the newest entries queued (their steps may still
+        be in flight; int() on them would stall the dispatch pipeline —
+        entries older than the pipeline depth are already complete and
+        cost nothing to read)."""
+        if len(vb_pending) <= keep:
+            return
+        since = {k: 0 for k in vb_drops}
+        while len(vb_pending) > keep:
+            s = vb_pending.pop(0)
+            for k in since:
+                since[k] += int(s[k])
+        for k, v in since.items():
+            vb_drops[k] += v
+        if any(since.values()):
+            log.warning(
+                "view-batch drops by step %d: %s since last check "
+                "(run totals %s) — dropped pairs corrupt gradients; "
+                "raise --pair-capacity / exchange capacity",
+                step_i, since, vb_drops)
+
     i = 0
     densify_open = True
     order_rng = np.random.default_rng(0xC0FFEE)
@@ -733,6 +761,10 @@ def main(argv=None) -> int:
             g = (i // args.view_batch) % len(vb_groups)
             gc, gt = vb_groups[g]
             state, loss, vb_stats = progs["vb_step"](state, gc, gt)
+            vb_pending.append(vb_stats)
+            # Entries older than the dispatch-pipeline depth are complete:
+            # reading them is free and surfaces sustained overflow NOW.
+            drain_vb_stats(i, keep=4)
             i += args.view_batch
         elif "epoch_depth" in progs and args.steps - i >= args.views:
             for sel, tgt in epoch_chunks():
@@ -776,13 +808,12 @@ def main(argv=None) -> int:
             i += 1
         if (i // args.views) % 10 == 0 or i >= args.steps:
             log.info("step %d: loss %.5f", i, float(loss))
+            drain_vb_stats(i)
     jax.block_until_ready(state.params.means)
-    if vb_stats is not None:
-        drops = {k: int(v) for k, v in vb_stats.items()}
-        if any(drops.values()):
-            log.warning("view-batch drop counters (last step): %s — "
-                        "raise --pair-capacity / exchange capacity",
-                        drops)
+    drain_vb_stats(i)
+    if any(vb_drops.values()):
+        log.warning("view-batch drop totals over the run: %s — raise "
+                    "--pair-capacity / exchange capacity", vb_drops)
     dt = time.perf_counter() - t0
     log.info("trained %d steps in %.1fs (%.2f it/s incl. dispatch)",
              args.steps, dt, args.steps / dt)

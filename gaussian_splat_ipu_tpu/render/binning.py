@@ -105,22 +105,29 @@ MASK_SPAN = 8  # tile window of the 64-bit exact-coverage mask (8x8)
 
 
 def _coverage_masks(splats: ProjectedSplats, cfg: RasterConfig,
-                    x0, y0, nx, ny):
-    """Per-gaussian EXACT tile-coverage bitmask over an 8x8 tile window.
+                    x0, y0, nx, ny, cell_w=None, cell_h=None):
+    """Per-gaussian EXACT cell-coverage bitmask over an 8x8 cell window.
 
-    Bit k (k = dy*8 + dx) is set iff tile (x0+dx, y0+dy) contains a pixel
-    that can clear alpha_min for this splat: the minimum over the tile's
-    pixel rectangle of the conic quadratic F(u, v) = A u^2 + 2B u v +
-    C v^2 (the kernel evaluates power = -F/2, tile_raster.chunk_alphas)
-    is <= q = 2 ln(opacity / alpha_min). For a positive-definite F whose
-    unconstrained minimum (the splat centre) lies outside the rectangle,
-    the constrained minimum lies on one of the four edges; each edge is a
-    1D quadratic minimised in closed form with clamping. Pixels sample at
-    integer coordinates (tile_raster._pixel_coords), so tile tx spans
-    u in [tx*tw - gx, tx*tw + tw - 1 - gx].
+    A "cell" is one tile (per-tile binning) or one tile GROUP (tile_group
+    binning — the caller passes cell_w/cell_h = g * tile size and
+    group-space x0/y0/nx/ny; the same closed-form edge minimisation works
+    on the g-times-larger pixel rectangle, so the two pair-cutting levers
+    COMPOSE). Bit k (k = dy*8 + dx) is set iff cell (x0+dx, y0+dy)
+    contains a pixel that can clear alpha_min for this splat: the minimum
+    over the cell's pixel rectangle of the conic quadratic F(u, v) =
+    A u^2 + 2B u v + C v^2 (the kernel evaluates power = -F/2,
+    tile_raster.chunk_alphas) is <= q = 2 ln(opacity / alpha_min). For a
+    positive-definite F whose unconstrained minimum (the splat centre)
+    lies outside the rectangle, the constrained minimum lies on one of
+    the four edges; each edge is a 1D quadratic minimised in closed form
+    with clamping. Pixels sample at integer coordinates
+    (tile_raster._pixel_coords), so cell cx spans
+    u in [cx*cw - gx, cx*cw + cw - 1 - gx]. (Partial cells at the image
+    border test a superset of their real pixels — conservative: a cell is
+    only ever kept extra, never dropped.)
 
-    Only footprints with nx, ny <= 8 are testable (bigger ones keep their
-    whole rectangle — they are rare and the mask would not fit).
+    Only footprints with nx, ny <= 8 cells are testable (bigger ones keep
+    their whole rectangle — they are rare and the mask would not fit).
 
     Returns (testable (N,) bool, mlo, mhi (N,) i32 mask words, ncov_exact
     (N,) i32 popcount). Everything is gradient-free (binning geometry).
@@ -131,10 +138,11 @@ def _coverage_masks(splats: ProjectedSplats, cfg: RasterConfig,
                   sg(splats.conic[:, 2]))
     op = sg(splats.opacity)
     q = 2.0 * jnp.log(jnp.maximum(op, 1e-12) / cfg.alpha_min)
-    # Slack: a tile whose best pixel sits exactly at alpha_min must stay
+    # Slack: a cell whose best pixel sits exactly at alpha_min must stay
     # (the kernel's skip is a strict <) even across fp rounding paths.
     q = q * (1.0 + 1e-4) + 1e-4
-    tw, th = float(cfg.tile_width), float(cfg.tile_height)
+    tw = float(cell_w if cell_w is not None else cfg.tile_width)
+    th = float(cell_h if cell_h is not None else cfg.tile_height)
     testable = (nx <= MASK_SPAN) & (ny <= MASK_SPAN) & (nx * ny > 0)
     ca_s = jnp.maximum(ca, 1e-12)
     cc_s = jnp.maximum(cc, 1e-12)
@@ -433,14 +441,10 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
     g = cfg.tile_group
     if g > 1:
         # Tile-group binning (see RasterConfig.tile_group): pairs are
-        # keyed by super-tile; exclusive with the per-tile coverage mask
-        # and (for now) the distributed row-strip path. Explicit raises
-        # (not asserts): these are USER-config errors and must survive
-        # python -O — silently combining them would decode the 8x8
-        # coverage masks from group-space geometry onto wrong tiles.
-        if cfg.exact_tile_test:
-            raise ValueError("tile_group and exact_tile_test are "
-                             "exclusive")
+        # keyed by super-tile. Composes with exact_tile_test (the
+        # coverage mask is evaluated over GROUP cells below). Explicit
+        # raise (not assert): a USER-config error that must survive
+        # python -O.
         if row_lo is not None and (num_rows is None or num_rows % g):
             # Strips must cover whole group rows: groups may not span
             # devices (each device owns complete group ranges).
@@ -486,12 +490,15 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
         max_query_key = None
     ncov = (nx * ny).astype(jnp.int32)
     if cfg.exact_tile_test:
-        # Exact per-tile coverage: only tiles whose pixel rect can clear
-        # alpha_min are enumerated (the ellipse misses many corner tiles
-        # of the bounding rectangle). Output is pixel-identical; every
-        # O(P) binning pass and the per-tile compositing shrink.
-        testable, mlo, mhi, ncov_x = _coverage_masks(splats, cfg,
-                                                     x0, y0, nx, ny)
+        # Exact per-cell coverage: only tiles (groups, when g > 1 —
+        # x0/y0/nx/ny are already in group space and the cell rectangle
+        # scales by g) whose pixel rect can clear alpha_min are
+        # enumerated (the ellipse misses many corner cells of the
+        # bounding rectangle). Output is pixel-identical; every O(P)
+        # binning pass and the per-tile compositing shrink.
+        testable, mlo, mhi, ncov_x = _coverage_masks(
+            splats, cfg, x0, y0, nx, ny,
+            cell_w=g * cfg.tile_width, cell_h=g * cfg.tile_height)
         ncov = jnp.where(testable, ncov_x, ncov).astype(jnp.int32)
         flag = jnp.where(testable, jnp.int32(1) << 30, 0)
     else:

@@ -94,13 +94,36 @@ class RenderEngine:
 
         The reference compiles its whole graph once up front (minutes-scale
         poplar compile, ipu_utils.hpp:584); XLA compiles per program in
-        seconds and the persistent cache makes reruns instant.
+        seconds — except the big distributed programs, which can take
+        minutes on a CPU mesh, so a rate-limited progress heartbeat logs
+        elapsed time while the compile runs (the reference's
+        compile-progress CallbackFilter, ipu_utils.hpp:476-518; XLA
+        exposes no percentage callback, so the heartbeat reports elapsed
+        wall-clock instead of graph-construction percent).
         """
+        import threading
+
         t0 = time.perf_counter()
-        jitted = jax.jit(fn, static_argnums=static_argnums,
-                         donate_argnums=donate_argnums)
-        with jax.default_device(self.device):
-            compiled = jitted.lower(*example_args).compile()
+        done = threading.Event()
+
+        def heartbeat():
+            # First tick after 15 s — short compiles stay silent.
+            interval = 15.0
+            while not done.wait(interval):
+                log.info("compiling program '%s'... %.0fs elapsed",
+                         name, time.perf_counter() - t0)
+                interval = min(interval * 2, 120.0)  # rate filtering
+
+        ticker = threading.Thread(target=heartbeat, daemon=True)
+        ticker.start()
+        try:
+            jitted = jax.jit(fn, static_argnums=static_argnums,
+                             donate_argnums=donate_argnums)
+            with jax.default_device(self.device):
+                compiled = jitted.lower(*example_args).compile()
+        finally:
+            done.set()
+            ticker.join()
         dt = time.perf_counter() - t0
         log.info("compiled program '%s' in %.2fs", name, dt)
         prog = CompiledProgram(name=name, compiled=compiled,

@@ -213,15 +213,18 @@ class InterfaceServer:
                        raw[i * chunk_bytes:(i + 1) * chunk_bytes])
 
     def send_histogram(self, counts, overflow: int = 0,
-                       truncated: int = 0) -> None:
+                       truncated: int = 0,
+                       exchange_overflow: int = 0) -> None:
         """Per-tile pair counts plus drop telemetry: `overflow` pairs lost
-        to the fixed pair table, `truncated` past the per-tile work bound
-        (both 0 when nothing dropped — guarded-overflow discipline,
-        codelets.cpp:487-490)."""
+        to the fixed pair table, `truncated` past the per-tile work bound,
+        `exchange_overflow` splat rows dropped at the all_to_all bucket
+        capacity on the distributed path (all 0 when nothing dropped —
+        guarded-overflow discipline, codelets.cpp:487-490)."""
         payload = json.dumps(
             {"counts": np.asarray(counts).tolist(),
              "overflow": int(overflow),
-             "truncated": int(truncated)}).encode()
+             "truncated": int(truncated),
+             "exchange_overflow": int(exchange_overflow)}).encode()
         self._send("tile_histogram", payload)
 
     def _send(self, ptype: str, payload: bytes) -> None:

@@ -108,7 +108,10 @@ class RasterConfig:
     # tile window by minimising the conic quadratic over each tile's
     # pixel rectangle; only tiles where some pixel can clear alpha_min
     # are enumerated, so the output is pixel-identical. Footprints wider
-    # than 8 tiles on either axis keep the full rectangle.
+    # than 8 tiles on either axis keep the full rectangle. Composes with
+    # tile_group: the mask is then evaluated over g x g-tile GROUP cells
+    # (the window spans 8g tiles per axis), cutting corner groups the
+    # same way.
     exact_tile_test: bool = False
     # Tile-GROUP binning (GS-TG-style redundant-sort reduction,
     # arxiv 2509.00911): bin and depth-sort (gaussian, GROUP) pairs over
@@ -120,9 +123,9 @@ class RasterConfig:
     # alpha-aware extents (extent_sigma=0) the image is pixel-identical.
     # Compositing reads each group range once per member tile (more DMA);
     # profitable when the frame is sort-bound (1M+ gaussians). 1 = off.
-    # Exclusive with exact_tile_test. Works on the distributed row-strip
-    # path when each device's strip covers whole group rows
-    # (rows-per-device % tile_group == 0).
+    # Composes with exact_tile_test (group-cell coverage masks). Works on
+    # the distributed row-strip path when each device's strip covers
+    # whole group rows (rows-per-device % tile_group == 0).
     tile_group: int = 1
     # Exact reference break semantics in the INFERENCE (non-differentiated)
     # Pallas forward: a pixel freezes its transmittance at the first

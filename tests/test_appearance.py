@@ -10,6 +10,12 @@ from gaussian_splat_ipu_tpu.render.pipeline import render_image
 from gaussian_splat_ipu_tpu.train import appearance, trainer
 from gaussian_splat_ipu_tpu.utils.config import RasterConfig
 
+import pytest
+
+# Heavy mesh/CLI integration tests: the fast tier is `pytest -m 'not slow'`
+# (VERDICT r3 #7).
+pytestmark = pytest.mark.slow
+
 
 def _setup(seed=0, n=48):
     model = GaussianModel.random(jax.random.PRNGKey(seed), n, extent=0.5)

@@ -49,6 +49,7 @@ def _grads(binned, cfg, use_pallas, cotangent):
 
 class TestBackwardKernel:
     @pytest.mark.parametrize("seed", [0, 3])
+    @pytest.mark.slow
     def test_matches_spec_autodiff(self, seed):
         b = _binned(seed=seed)
         key = jax.random.PRNGKey(100 + seed)
@@ -59,6 +60,7 @@ class TestBackwardKernel:
         np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
                                    atol=2e-4, rtol=1e-3)
 
+    @pytest.mark.slow
     def test_matches_with_early_termination(self):
         """High opacities force the T<eps break: the contributor-count path
         (trigger excluded from gradients) must match the spec's masking."""
@@ -71,6 +73,7 @@ class TestBackwardKernel:
         np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
                                    atol=2e-4, rtol=1e-3)
 
+    @pytest.mark.slow
     def test_background_and_alpha_cotangents(self):
         """Nonzero background routes dL/dT through both the colour and the
         alpha output channel."""
@@ -85,6 +88,7 @@ class TestBackwardKernel:
         np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
                                    atol=2e-4, rtol=1e-3)
 
+    @pytest.mark.slow
     def test_end_to_end_model_grads(self):
         """Full chain: loss -> image -> rasterize bwd -> binning vjp ->
         projection vjp -> model parameter grads, pallas vs jnp path."""
@@ -105,6 +109,7 @@ class TestBackwardKernel:
                 np.asarray(getattr(g_ref, name)), atol=2e-4, rtol=1e-3,
                 err_msg=name)
 
+    @pytest.mark.slow
     def test_finite_difference(self):
         """Directional derivative check of the Pallas path against central
         differences on the features table."""

@@ -7,6 +7,8 @@ from gaussian_splat_ipu_tpu.render import binning
 from gaussian_splat_ipu_tpu.render.projection import ProjectedSplats
 from gaussian_splat_ipu_tpu.utils.config import RasterConfig
 
+import pytest
+
 CFG = RasterConfig(image_width=128, image_height=64, tile_width=32,
                    tile_height=32, pair_capacity=256, chunk_size=8,
                    max_chunks_per_tile=32)
@@ -80,6 +82,7 @@ def test_pad_pairs_have_zero_opacity():
     assert int(b.pair_gid[1]) == 1  # == N marks padding
 
 
+@pytest.mark.slow
 def test_overflow_counted():
     cfg = RasterConfig(image_width=128, image_height=64, tile_width=32,
                        tile_height=32, pair_capacity=8, chunk_size=8)
@@ -209,6 +212,7 @@ def test_presort_matches_exact_sort():
     assert int(b_pre.num_pairs) == int(b_exact.num_pairs)
 
 
+@pytest.mark.slow
 def test_presort_gradients_match_exact():
     import dataclasses
     import jax
@@ -235,6 +239,7 @@ def test_presort_gradients_match_exact():
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_presort_end_to_end_render_matches():
     import dataclasses
 
@@ -257,6 +262,7 @@ def test_presort_end_to_end_render_matches():
     np.testing.assert_allclose(a, b, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_randomized_invariants_across_configs():
     """Randomized sweep over sort strategies x tile grouping: structural
     invariants of BinnedSplats hold for every combination.

@@ -13,6 +13,8 @@ from gaussian_splat_ipu_tpu.models.gaussians import (GaussianModel,
 from gaussian_splat_ipu_tpu.ops import transforms
 from gaussian_splat_ipu_tpu.ops.sh import SH_C0
 
+import pytest
+
 
 # -- synthetic COLMAP model writers (binary + text) ---------------------------
 
@@ -228,6 +230,7 @@ class TestFromPoints:
             np.exp(np.asarray(m.log_scales)),
             np.tile(np.maximum(d, 1e-7)[:, None], (1, 3)), rtol=1e-5)
 
+    @pytest.mark.slow
     def test_renders(self):
         from gaussian_splat_ipu_tpu.models.camera import Camera
         from gaussian_splat_ipu_tpu.render.pipeline import render_image

@@ -11,6 +11,8 @@ from gaussian_splat_ipu_tpu.io import dataset
 from gaussian_splat_ipu_tpu.models.camera import Camera
 from gaussian_splat_ipu_tpu.ops import transforms
 
+import pytest
+
 
 def _project(cam: Camera, pts: np.ndarray, w: int, h: int) -> np.ndarray:
     view_h = transforms.transform_points(cam.view, pts)
@@ -127,6 +129,7 @@ def test_load_transforms_nerfstudio_intrinsics(tmp_path):
     np.testing.assert_allclose(fx, 20.0, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_render_with_dataset_camera(tmp_path):
     import jax
 

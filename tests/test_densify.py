@@ -12,6 +12,12 @@ from gaussian_splat_ipu_tpu.models.gaussians import GaussianModel
 from gaussian_splat_ipu_tpu.train import densify, trainer
 from gaussian_splat_ipu_tpu.utils.config import RasterConfig
 
+import pytest
+
+# Heavy mesh/CLI integration tests: the fast tier is `pytest -m 'not slow'`
+# (VERDICT r3 #7).
+pytestmark = pytest.mark.slow
+
 CFG = RasterConfig(image_width=64, image_height=64, pair_capacity=1 << 12,
                    max_chunks_per_tile=4)
 

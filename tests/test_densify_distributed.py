@@ -13,6 +13,12 @@ from gaussian_splat_ipu_tpu.parallel import distributed, mesh as meshlib
 from gaussian_splat_ipu_tpu.train import densify, trainer
 from gaussian_splat_ipu_tpu.utils.config import RasterConfig
 
+import pytest
+
+# Heavy mesh/CLI integration tests: the fast tier is `pytest -m 'not slow'`
+# (VERDICT r3 #7).
+pytestmark = pytest.mark.slow
+
 CFG = RasterConfig(image_width=64, image_height=256,
                    pair_capacity=1 << 12, max_chunks_per_tile=4)
 TC = trainer.TrainConfig(ssim_weight=0.0)

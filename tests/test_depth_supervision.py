@@ -14,6 +14,12 @@ from gaussian_splat_ipu_tpu.utils.config import RasterConfig
 
 from tests.test_colmap import _make_dataset
 
+import pytest
+
+# Heavy mesh/CLI integration tests: the fast tier is `pytest -m 'not slow'`
+# (VERDICT r3 #7).
+pytestmark = pytest.mark.slow
+
 
 class TestLoaderDepth:
     def test_binary_observations(self, tmp_path):

@@ -17,6 +17,12 @@ from gaussian_splat_ipu_tpu.render.pipeline import render
 from gaussian_splat_ipu_tpu.train import trainer
 from gaussian_splat_ipu_tpu.utils.config import RasterConfig
 
+import pytest
+
+# Heavy mesh/CLI integration tests: the fast tier is `pytest -m 'not slow'`
+# (VERDICT r3 #7).
+pytestmark = pytest.mark.slow
+
 
 def _scene(seed=0, n=256, extent=1.0):
     model = GaussianModel.random(jax.random.PRNGKey(seed), n, extent=extent)

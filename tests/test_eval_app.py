@@ -19,6 +19,10 @@ from gaussian_splat_ipu_tpu.train import checkpoint
 from gaussian_splat_ipu_tpu.utils import image as image_util
 from gaussian_splat_ipu_tpu.utils.config import RasterConfig
 
+# Heavy mesh/CLI integration tests: the fast tier is `pytest -m 'not slow'`
+# (VERDICT r3 #7).
+pytestmark = pytest.mark.slow
+
 W, H = 32, 24
 
 

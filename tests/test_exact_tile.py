@@ -16,6 +16,8 @@ from gaussian_splat_ipu_tpu.render.oracle import render_oracle
 from gaussian_splat_ipu_tpu.render.pipeline import render
 from gaussian_splat_ipu_tpu.utils.config import RasterConfig
 
+import pytest
+
 BASE = RasterConfig(image_width=256, image_height=192,
                     pair_capacity=1 << 16)
 
@@ -30,6 +32,7 @@ def _scene(seed=0, n=2500, scale_boost=0.0):
     return m, cam
 
 
+@pytest.mark.slow
 def test_identical_image_fewer_pairs_all_sort_paths():
     m, cam = _scene()
     for presort, fused in [(False, True), (True, True), (False, False)]:
@@ -43,6 +46,7 @@ def test_identical_image_fewer_pairs_all_sort_paths():
                                    np.asarray(o0.image), atol=2e-6)
 
 
+@pytest.mark.slow
 def test_exact_mode_with_tile_test_matches_oracle():
     # Depth-exact sort paths (the default fused key quantizes depth, so
     # near-coincident splats may legally swap vs the oracle's full sort).
@@ -56,6 +60,7 @@ def test_exact_mode_with_tile_test_matches_oracle():
         np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gradients_unchanged():
     m, cam = _scene(n=600)
 
@@ -71,6 +76,7 @@ def test_gradients_unchanged():
                                    atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_big_splats_cut_grows_and_stays_exact():
     m, cam = _scene(seed=1, n=800, scale_boost=1.2)
     c1 = dataclasses.replace(BASE, exact_tile_test=True)
@@ -121,6 +127,7 @@ def test_high_bit_mask_words():
     assert got == [(0, 0), (7, 3), (7, 7)]
 
 
+@pytest.mark.slow
 def test_distributed_render_with_tile_test():
     from gaussian_splat_ipu_tpu.parallel import distributed, mesh as meshlib
 

@@ -188,6 +188,7 @@ def test_aa_opacity_compensation():
     assert float(z[0]) == 0.0
 
 
+@pytest.mark.slow
 def test_antialias_fades_subpixel_splats():
     import dataclasses
 

@@ -15,6 +15,10 @@ import sys
 import numpy as np
 import pytest
 
+# Heavy mesh/CLI integration tests: the fast tier is `pytest -m 'not slow'`
+# (VERDICT r3 #7).
+pytestmark = pytest.mark.slow
+
 
 def _free_port() -> int:
     s = socket.socket()

@@ -13,6 +13,8 @@ from gaussian_splat_ipu_tpu.ops import transforms
 from gaussian_splat_ipu_tpu.render.oracle import render_oracle
 from gaussian_splat_ipu_tpu.utils.config import RasterConfig
 
+import pytest
+
 CFG = RasterConfig(image_width=64, image_height=64)
 
 
@@ -58,6 +60,7 @@ def test_single_gaussian_peaks_at_centre():
     assert alpha[0, 0] < alpha[iy, ix] * 0.1
 
 
+@pytest.mark.slow
 def test_depth_order_front_wins():
     near = single_gaussian((0.0, 0.0, 1.0), color=(0.0, 1.0, 0.0),
                            opacity=10.0, log_scale=-1.0)

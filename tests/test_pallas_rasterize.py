@@ -15,6 +15,8 @@ from gaussian_splat_ipu_tpu.render.oracle import render_oracle
 from gaussian_splat_ipu_tpu.render.pipeline import render, render_image
 from gaussian_splat_ipu_tpu.utils.config import RasterConfig
 
+import pytest
+
 CFG = RasterConfig(image_width=128, image_height=96, tile_width=32,
                    tile_height=32, chunk_size=32, pair_capacity=8192,
                    max_chunks_per_tile=16)
@@ -27,6 +29,7 @@ def camera(w=128, h=96):
     return Camera(view, proj)
 
 
+@pytest.mark.slow
 def test_pallas_matches_oracle():
     model = GaussianModel.random(jax.random.PRNGKey(0), 200)
     cam = camera()
@@ -35,6 +38,23 @@ def test_pallas_matches_oracle():
     np.testing.assert_allclose(got, ref, atol=3e-5, rtol=1e-4)
 
 
+def test_pallas_smoke_fast_tier():
+    """Fast-tier Pallas coverage (the rest of this file is `slow`): a
+    minimal scene through the real kernel path (interpret mode on CPU)
+    against the jnp spec, sized so the whole test stays in single-digit
+    seconds on a loaded box."""
+    cfg = RasterConfig(image_width=32, image_height=32, tile_width=32,
+                       tile_height=32, chunk_size=16, pair_capacity=512,
+                       max_chunks_per_tile=4)
+    model = GaussianModel.random(jax.random.PRNGKey(5), 24)
+    cam = camera(32, 32)
+    a = np.asarray(render(model, cam, cfg, use_pallas=False).image)
+    b = np.asarray(render(model, cam, cfg, use_pallas=True).image)
+    np.testing.assert_allclose(b, a, atol=1e-5)
+    assert a[..., 3].max() > 0.0  # something actually rendered
+
+
+@pytest.mark.slow
 def test_pallas_matches_jnp_exactly():
     # The kernel and the jnp spec share chunk math; agreement should be
     # near bit-exact (both f32, same op order up to matmul-vs-cumsum).
@@ -45,6 +65,7 @@ def test_pallas_matches_jnp_exactly():
     np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_empty_scene():
     cfg = RasterConfig(image_width=64, image_height=32, tile_width=32,
                        tile_height=32, chunk_size=8, pair_capacity=64,
@@ -63,6 +84,7 @@ def test_pallas_empty_scene():
     np.testing.assert_allclose(img[..., 3], 0.0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_relaxed_termination_bounded_error():
     """strict_termination=False drops the per-pixel break machinery; the
     image deviation is bounded by the weight left at the strict stop point
@@ -90,6 +112,7 @@ def test_relaxed_termination_bounded_error():
     assert (strict[..., 3] > 0.99).any()
 
 
+@pytest.mark.slow
 def test_pallas_gradients_match_jnp_path():
     model = GaussianModel.random(jax.random.PRNGKey(3), 64)
     cam = camera()

@@ -10,6 +10,8 @@ from gaussian_splat_ipu_tpu.render.pipeline import render_image
 from gaussian_splat_ipu_tpu.train import pose_opt, trainer
 from gaussian_splat_ipu_tpu.utils.config import RasterConfig
 
+import pytest
+
 
 class TestSE3Exp:
     def test_zero_is_identity(self):
@@ -58,6 +60,7 @@ def _setup(seed=0, n=48):
     return model, cam, cfg
 
 
+@pytest.mark.slow
 def test_recovers_known_perturbation():
     """Freeze the scene (zero LRs); the pose delta must learn to invert a
     known SE(3) perturbation of the camera."""
@@ -90,6 +93,7 @@ def test_recovers_known_perturbation():
     assert np.linalg.norm(comp[:3, 3]) < 0.03
 
 
+@pytest.mark.slow
 def test_joint_step_updates_both():
     model, cam, cfg = _setup()
     target = render_image(model, cam, cfg, use_pallas=False) * 0.8

@@ -9,6 +9,8 @@ from gaussian_splat_ipu_tpu.app import scene_tool
 from gaussian_splat_ipu_tpu.models.gaussians import GaussianModel
 from gaussian_splat_ipu_tpu.train import checkpoint
 
+import pytest
+
 
 def _model(n=64, sh_degree=2, seed=0):
     return GaussianModel.random(jax.random.PRNGKey(seed), n,
@@ -92,6 +94,7 @@ def test_cli_does_not_recentre_input(tmp_path):
                                np.asarray(shifted.means), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_center_flip_preserves_appearance():
     """Mirroring the scene through z (means + quats + SH) and viewing it
     with a correspondingly mirrored camera reproduces the original image

@@ -16,6 +16,8 @@ from gaussian_splat_ipu_tpu.ops import sh as sh_ops
 from gaussian_splat_ipu_tpu.render.pipeline import render_image
 from gaussian_splat_ipu_tpu.utils.config import RasterConfig
 
+import pytest
+
 CFG = RasterConfig(image_width=64, image_height=64, pair_capacity=1 << 12,
                    max_chunks_per_tile=4)
 
@@ -27,6 +29,7 @@ def _cam(rot_y=0.0):
                         rot_y_deg=rot_y)
 
 
+@pytest.mark.slow
 def test_degree0_equals_expanded_degree2_with_zero_rest():
     """Zero higher-order coefficients must not change the image."""
     m0 = GaussianModel.random(jax.random.PRNGKey(0), 96, sh_degree=0)
@@ -64,6 +67,7 @@ def test_eval_sh_matches_closed_form_degree1():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sh_grads_flow_at_degree2():
     model = GaussianModel.random(jax.random.PRNGKey(4), 64, sh_degree=2)
 
@@ -78,6 +82,7 @@ def test_sh_grads_flow_at_degree2():
     assert np.abs(g_sh[:, 1:]).max() > 0.0
 
 
+@pytest.mark.slow
 def test_env_rotation_spins_directional_appearance():
     # env_rotation plumb (reference env_rotation packets,
     # InterfaceServer.hpp:24-43 -> env light shader): rotating the

@@ -14,6 +14,12 @@ from gaussian_splat_ipu_tpu.models.gaussians import GaussianModel
 from gaussian_splat_ipu_tpu.render import pipeline
 from gaussian_splat_ipu_tpu.utils.config import RasterConfig
 
+import pytest
+
+# Heavy mesh/CLI integration tests: the fast tier is `pytest -m 'not slow'`
+# (VERDICT r3 #7).
+pytestmark = pytest.mark.slow
+
 
 def _model_and_camera(n=48, degree=2):
     model = GaussianModel.random(jax.random.PRNGKey(0), n,

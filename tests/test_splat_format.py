@@ -10,6 +10,8 @@ from gaussian_splat_ipu_tpu.io import splat as splat_io
 from gaussian_splat_ipu_tpu.io.scene import load_scene
 from gaussian_splat_ipu_tpu.models.gaussians import GaussianModel
 
+import pytest
+
 
 def _model(n=64, seed=0):
     m = GaussianModel.random(jax.random.PRNGKey(seed), n, extent=0.7)
@@ -73,6 +75,7 @@ def test_load_scene_dispatch_and_row_range(tmp_path):
         == (4, 3)
 
 
+@pytest.mark.slow
 def test_train_cli_export_splat(tmp_path, capsys):
     from gaussian_splat_ipu_tpu.app import train as train_app
     from gaussian_splat_ipu_tpu.train import checkpoint

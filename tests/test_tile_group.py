@@ -31,6 +31,7 @@ BASE = RasterConfig(image_width=96, image_height=96,
 
 
 @pytest.mark.parametrize("g", [2, 3])
+@pytest.mark.slow
 def test_pixel_exact_with_alpha_aware_extents(g):
     """Same composited set and order (alpha_min skips the extras the
     group range adds); only chunk-boundary summation order shifts, so
@@ -48,6 +49,7 @@ def test_pixel_exact_with_alpha_aware_extents(g):
     assert int(got.overflow) == 0
 
 
+@pytest.mark.slow
 def test_pair_reduction_and_close_with_capped_extents():
     model, cam = _scene(seed=1)
     ref = render(model, cam, BASE, use_pallas=False)
@@ -62,6 +64,7 @@ def test_pair_reduction_and_close_with_capped_extents():
 
 
 @pytest.mark.parametrize("presort", [False, True])
+@pytest.mark.slow
 def test_pallas_matches_spec_grouped(presort):
     model, cam = _scene(seed=2, n=96)
     cfg = dataclasses.replace(BASE, tile_group=2, extent_sigma=0.0,
@@ -72,6 +75,7 @@ def test_pallas_matches_spec_grouped(presort):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gradients_flow_grouped():
     import jax.numpy as jnp
 
@@ -87,13 +91,50 @@ def test_gradients_flow_grouped():
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
 
 
-def test_group_exclusive_with_exact_tiles():
-    model, cam = _scene(n=16)
-    cfg = dataclasses.replace(BASE, tile_group=2, exact_tile_test=True)
-    with pytest.raises(ValueError, match="exclusive"):
-        render(model, cam, cfg, use_pallas=False)
+@pytest.mark.parametrize("g", [2, 3])
+@pytest.mark.slow
+def test_group_composes_with_exact_tiles(g):
+    """VERDICT r3 #8: the coverage mask evaluated over g x g GROUP cells
+    composes with super-tile binning — pixel-identical to grouped-only
+    binning (a masked-out group contributes no pixel above alpha_min by
+    construction) at equal-or-fewer pairs."""
+    model, cam = _scene(seed=5)
+    grouped = dataclasses.replace(BASE, extent_sigma=0.0, tile_group=g)
+    both = dataclasses.replace(grouped, exact_tile_test=True)
+    ref = render(model, cam, grouped, use_pallas=False)
+    got = render(model, cam, both, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got.image),
+                               np.asarray(ref.image), atol=1e-6)
+    assert int(got.num_pairs) <= int(ref.num_pairs)
+    assert int(got.overflow) == 0
 
 
+@pytest.mark.slow
+def test_group_mask_composed_cuts_pairs_on_elongated_splats():
+    """Elongated splats miss many corner cells of their bounding box:
+    the composed mode must show a real pair reduction, and the Pallas
+    kernel must agree with the spec on the composed config."""
+    model, cam = _scene(seed=6, n=128)
+    # Stretch scales anisotropically so footprints are long ellipses.
+    import jax.numpy as jnp
+    model = GaussianModel(means=model.means,
+                          log_scales=model.log_scales
+                          + jnp.array([1.2, -0.8, 0.0]),
+                          quats=model.quats, opacities=model.opacities,
+                          sh=model.sh)
+    grouped = dataclasses.replace(BASE, extent_sigma=0.0, tile_group=2)
+    both = dataclasses.replace(grouped, exact_tile_test=True)
+    ref = render(model, cam, grouped, use_pallas=False)
+    got = render(model, cam, both, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got.image),
+                               np.asarray(ref.image), atol=1e-6)
+    assert int(got.num_pairs) < int(ref.num_pairs)
+    pal = render(model, cam, both, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(pal.image),
+                               np.asarray(got.image), atol=1e-5)
+
+
+@pytest.mark.slow
 def test_work_cap_scales_and_truncated_dedupes():
     """The per-range work cap scales by g^2 (same effective per-tile
     capacity as ungrouped) and the truncated counter dedupes to one

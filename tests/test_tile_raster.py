@@ -30,6 +30,7 @@ def camera(w, h):
 
 
 @pytest.mark.parametrize("tile", [(32, 32), (16, 64)])
+@pytest.mark.slow
 def test_tiled_matches_oracle(tile):
     th, tw = tile
     cfg = RasterConfig(image_width=128, image_height=96, tile_width=tw,
@@ -44,6 +45,7 @@ def test_tiled_matches_oracle(tile):
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_tile_counts_histogram():
     cfg = RasterConfig(image_width=64, image_height=64, tile_width=32,
                        tile_height=32, chunk_size=16, pair_capacity=4096)
@@ -54,6 +56,7 @@ def test_tile_counts_histogram():
     assert counts.sum() == int(out.num_pairs)
 
 
+@pytest.mark.slow
 def test_truncated_counter_reports_dropped_tail():
     # One big gaussian covering everything -> every tile holds ~n pairs.
     # With max_chunks_per_tile=2 (work bound 2*16=32) a 100-splat scene
@@ -78,6 +81,7 @@ def test_truncated_counter_reports_dropped_tail():
     assert int(out_ok.truncated) == 0
 
 
+@pytest.mark.slow
 def test_unaligned_image_padding_cropped():
     # 100x70 image with 32x32 tiles: padded to 128x96 internally.
     cfg = RasterConfig(image_width=100, image_height=70, tile_width=32,
@@ -90,6 +94,7 @@ def test_unaligned_image_padding_cropped():
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_jit_and_grad_through_pipeline():
     cfg = RasterConfig(image_width=64, image_height=64, tile_width=32,
                        tile_height=32, chunk_size=16, pair_capacity=4096,
@@ -112,6 +117,7 @@ def test_jit_and_grad_through_pipeline():
     assert float(jnp.abs(grads.sh).sum()) > 0.0
 
 
+@pytest.mark.slow
 def test_alpha_aware_extents_exact_mode_matches_oracle():
     # extent_sigma=0: footprints reach the full alpha_min radius, so the
     # tiled pipeline reproduces the dense oracle to fp noise even for
@@ -145,6 +151,7 @@ def test_alpha_aware_extents_shrink_dim_splats():
     assert 16.0 <= float(rx0[0]) <= 17.0
 
 
+@pytest.mark.slow
 def test_render_depth_single_and_mixture():
     import dataclasses
 

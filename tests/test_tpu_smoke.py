@@ -20,6 +20,10 @@ import sys
 
 import pytest
 
+# Heavy mesh/CLI integration tests: the fast tier is `pytest -m 'not slow'`
+# (VERDICT r3 #7).
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.tpu
 @pytest.mark.skipif(os.environ.get("GSPLAT_TPU_TEST", "") != "1",

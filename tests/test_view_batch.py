@@ -15,6 +15,12 @@ from gaussian_splat_ipu_tpu.render.pipeline import render_image
 from gaussian_splat_ipu_tpu.train import trainer
 from gaussian_splat_ipu_tpu.utils.config import RasterConfig
 
+import pytest
+
+# Heavy mesh/CLI integration tests: the fast tier is `pytest -m 'not slow'`
+# (VERDICT r3 #7).
+pytestmark = pytest.mark.slow
+
 CFG = RasterConfig(image_width=64, image_height=128, pair_capacity=1 << 12,
                    max_chunks_per_tile=4)  # 2x4 tiles -> 1 row per shard
 
