@@ -156,6 +156,28 @@ def main():
             base_g2_tt, pair_capacity=probed("group2_tt", base_g2_tt)[1]),
         "fused_tight_group4_tt": lambda: dataclasses.replace(
             base_g4_tt, pair_capacity=probed("group4_tt", base_g4_tt)[1]),
+        # Relaxed-termination inference kernel on top of grouping
+        # (colour-exact on black background; the interactive default).
+        "fused_tight_group2_relaxed": lambda: dataclasses.replace(
+            base_g2, pair_capacity=probed("group2", base_g2)[1],
+            strict_termination=False),
+        "fused_tight_group4_relaxed": lambda: dataclasses.replace(
+            base_g4, pair_capacity=probed("group4", base_g4)[1],
+            strict_termination=False),
+        "fused_tight_relaxed": lambda: dataclasses.replace(
+            base, pair_capacity=probed("base", base)[1],
+            strict_termination=False),
+        # Gather-free expansion (delta-scatter + cumsum; bit-identical —
+        # tests/test_binning.py::test_expand_scatter_matches_gather_bitwise)
+        "fused_tight_dscatter": lambda: dataclasses.replace(
+            base, pair_capacity=probed("base", base)[1],
+            expand_scatter=True),
+        "fused_tight_group2_tt_dscatter": lambda: dataclasses.replace(
+            base_g2_tt, pair_capacity=probed("group2_tt", base_g2_tt)[1],
+            expand_scatter=True),
+        "fused_tight_group4_tt_dscatter": lambda: dataclasses.replace(
+            base_g4_tt, pair_capacity=probed("group4_tt", base_g4_tt)[1],
+            expand_scatter=True),
     }
     only = os.environ.get("GSPLAT_VARIANTS", "")
     if only:

@@ -196,9 +196,10 @@ def main():
     timed("bin: sort only (12 ops)", s_sort_only, key31, gid_pre,
           jnp.stack(cols))
     feats, tile_s, gid_s = jax.jit(
-        lambda pk, r, g: binning._fused_sorted_feature_table(
-            pk, r, g, jnp.int32(31 - tile_bits), jnp.int32(cfg.tiles_x))
-    )(packed, rank, gid_pre)
+        lambda pk, r, g, sl: binning._make_fused_table(False)(
+            pk, r, g, sl, jnp.int32(31 - tile_bits),
+            jnp.int32(cfg.tiles_x))
+    )(packed, rank, gid_pre, offsets_ext)
     timed("bin: CSR searchsorted", s_csr, tile_s)
 
     # Rasterize alone on fixed binned inputs.

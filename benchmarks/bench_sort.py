@@ -146,6 +146,44 @@ def main():
 
     timed("rgatherasc: (P,12) ascending row gather", g_rows_asc, key31)
 
+    # (i) delta-scatter + cumsum expansion: the gather-free run-length
+    # expansion candidate. Reconstructs the (P, F) expanded table from
+    # N-row i32 delta scatters at segment starts + one cumsum along P —
+    # exact in mod-2^32 arithmetic. Costs: one (N, F) row scatter-add
+    # into (P, F) + F-column cumsum.
+    F = 13
+    nrows_i = jnp.asarray(rng.integers(-(1 << 30), 1 << 30, (N + 1, F),
+                                       dtype=np.int32))
+    slots = jnp.sort(jnp.asarray(rng.integers(0, P, N + 1,
+                                              dtype=np.int32)))
+
+    def dscatter(k):
+        d = nrows_i + k[0]
+        acc = jnp.zeros((P, F), jnp.int32).at[slots].add(d, mode="drop")
+        out = jnp.cumsum(acc, axis=0)
+        return perturb(k + (jnp.sum(out) & 0x7FFF), 1 << 31)
+
+    timed("dscatter: (N,13) row scatter + (P,13) cumsum", dscatter, key31)
+
+    def dscatter_t(k):
+        d = nrows_i + k[0]
+        acc = jnp.zeros((P, 16), jnp.int32).at[
+            slots, :F].add(d, mode="drop")
+        out = jnp.cumsum(acc.T, axis=1)      # feature-major cumsum
+        return perturb(k + (jnp.sum(out) & 0x7FFF), 1 << 31)
+
+    timed("dscatterT: row scatter + transposed cumsum", dscatter_t, key31)
+
+    def colcumsum(k):
+        x = key31 + k[0]
+        s = jnp.int32(0)
+        for _ in range(F):
+            x = jnp.cumsum(x)
+            s = s + x[-1]
+        return perturb(k + (s & 0x7FFF), 1 << 31)
+
+    timed("cumsum13: 13 separate (P,) cumsums", colcumsum, key31)
+
 
 if __name__ == "__main__":
     main()

@@ -66,19 +66,21 @@ def parse_args(argv=None):
                    help="jointly refine per-view camera poses (SE(3) "
                         "tangent deltas at this Adam LR; 5e-4 is a "
                         "sensible start). Single-device, non-densify "
-                        "paths only")
+                        "paths only; composes with --exposure-opt and "
+                        "--depth-loss")
     p.add_argument("--exposure-opt", type=float, default=0.0,
                    metavar="LR",
                    help="per-view affine exposure compensation applied "
                         "to the render before the loss (Adam LR; 1e-2 "
                         "is a sensible start). Single-device, "
-                        "non-densify paths; exclusive with --pose-opt")
+                        "non-densify paths; composes with --pose-opt "
+                        "and --depth-loss")
     p.add_argument("--depth-loss", type=float, default=0.0, metavar="W",
                    help="supervise rendered depth at the COLMAP SfM "
                         "track observations with this weight (masked "
                         "relative-L1; needs a COLMAP --dataset; "
-                        "single-device paths, composes with --densify, "
-                        "exclusive with --pose-opt/--exposure-opt)")
+                        "single-device paths, composes with --densify "
+                        "and with --pose-opt/--exposure-opt)")
     p.add_argument("--shuffle", action="store_true",
                    help="visit training views in a fresh random order "
                         "each epoch (standard 3DGS camera sampling); "
@@ -328,34 +330,30 @@ def main(argv=None) -> int:
         raise SystemExit("--view-batch must divide the device count "
                          f"({len(jax.devices())})")
     dstate = None
-    pstate = None
-    estate = None
-    if sum(x > 0 for x in (args.pose_opt, args.exposure_opt,
-                           args.depth_loss)) > 1:
-        raise SystemExit("--pose-opt / --exposure-opt / --depth-loss are "
-                         "mutually exclusive (one special step program "
-                         "at a time)")
+    austate = None
+    # --pose-opt / --exposure-opt / --depth-loss COMPOSE on the
+    # single-device non-densify path (one aux_opt step program carries
+    # every active module; train/aux_opt.py). Depth additionally composes
+    # with --densify (depth-regularised density control).
     for flag in ("pose_opt", "exposure_opt"):
         if getattr(args, flag) > 0 and (args.densify or use_dist
                                         or multiproc):
             log.warning("--%s needs the single-device non-densify "
                         "path; ignoring", flag.replace("_", "-"))
             setattr(args, flag, 0.0)
-    # Depth supervision composes with --densify (depth-regularised
-    # density control) but not with the distributed step programs.
     if args.depth_loss > 0 and (use_dist or multiproc):
         log.warning("--depth-loss needs the single-device path; ignoring")
         args.depth_loss = 0.0
-    if args.pose_opt > 0:
-        from gaussian_splat_ipu_tpu.train import pose_opt as pose_lib
-        pstate = pose_lib.init_pose_state(args.views, args.pose_opt)
-        log.info("pose refinement on: %d views, lr %g", args.views,
-                 args.pose_opt)
-    if args.exposure_opt > 0:
-        from gaussian_splat_ipu_tpu.train import appearance as app_lib
-        estate = app_lib.init_exposure_state(args.views, args.exposure_opt)
-        log.info("exposure compensation on: %d views, lr %g", args.views,
-                 args.exposure_opt)
+    if args.pose_opt > 0 or args.exposure_opt > 0:
+        from gaussian_splat_ipu_tpu.train import aux_opt as aux_lib
+        austate = aux_lib.init_aux_state(args.views, args.pose_opt,
+                                         args.exposure_opt)
+        if args.pose_opt > 0:
+            log.info("pose refinement on: %d views, lr %g", args.views,
+                     args.pose_opt)
+        if args.exposure_opt > 0:
+            log.info("exposure compensation on: %d views, lr %g",
+                     args.views, args.exposure_opt)
 
     def ensure_sharded(m, mesh_):
         from gaussian_splat_ipu_tpu.parallel import mesh as meshlib
@@ -496,6 +494,44 @@ def main(argv=None) -> int:
         elif use_dist:
             progs["step"] = distributed.make_sharded_train_step(
                 mesh, acfg, tc, pair_capacity=args.pair_capacity)
+        elif args.pose_opt > 0 or args.exposure_opt > 0:
+            # COMPOSABLE per-view auxiliary optimisation: one aux_opt
+            # step program over every active module (pose deltas,
+            # exposure affines, sparse-depth residuals — any subset;
+            # train/aux_opt.py).
+            from gaussian_splat_ipu_tpu.train import aux_opt as aux_lib
+            with_depth = args.depth_loss > 0 and depth_pack is not None
+            raw_aux = aux_lib.make_aux_step(
+                acfg, tc, pose_lr=args.pose_opt,
+                exposure_lr=args.exposure_opt,
+                depth_weight=args.depth_loss if with_depth else 0.0,
+                use_pallas=True)
+            dummy_obs, dummy_mask = aux_lib.dummy_depth_obs()
+            if with_depth:
+                aux_obs, aux_mask = depth_pack
+            else:
+                aux_obs = dummy_obs[None].repeat(args.views, 0)
+                aux_mask = dummy_mask[None].repeat(args.views, 0)
+
+            @jax.jit
+            def epoch_aux(state, aux, order, tgts):
+                def body(carry, ct):
+                    s, a = carry
+                    k, cam_leaves, tgt, ob, mk = ct
+                    cam = jax.tree_util.tree_unflatten(cam_treedef,
+                                                       cam_leaves)
+                    s, a, loss = raw_aux(s, a, k, cam, tgt, ob, mk)
+                    return (s, a), loss
+                (s, a), ls = jax.lax.scan(
+                    body, (state, aux),
+                    (order, [x[order] for x in cam_leaves_stacked],
+                     tgts, aux_obs[order], aux_mask[order]))
+                return s, a, ls
+
+            progs["epoch_aux"] = epoch_aux
+            progs["step_aux"] = jax.jit(
+                lambda s, a, k, c, t: raw_aux(s, a, k, c, t, aux_obs[k],
+                                              aux_mask[k]))
         elif args.depth_loss > 0 and depth_pack is not None:
             from gaussian_splat_ipu_tpu.train import depth as depth_mod
             raw_dstep = depth_mod.make_depth_train_step(
@@ -518,38 +554,6 @@ def main(argv=None) -> int:
             progs["step_depth"] = jax.jit(
                 lambda s, k, c, t: raw_dstep(s, c, t, obs_all[k],
                                              mask_all[k]))
-        elif args.pose_opt > 0 or args.exposure_opt > 0:
-            # Per-view auxiliary optimisation (pose deltas OR exposure
-            # affines): same program shape, one joint_step per module.
-            if args.pose_opt > 0:
-                from gaussian_splat_ipu_tpu.train import pose_opt as aux_lib
-                aux_lr = args.pose_opt
-            else:
-                from gaussian_splat_ipu_tpu.train import (
-                    appearance as aux_lib)
-                aux_lr = args.exposure_opt
-            joint = aux_lib.joint_step
-
-            @jax.jit
-            def epoch_aux(state, aux, order, tgts):
-                def body(carry, ct):
-                    s, a = carry
-                    k, cam_leaves, tgt = ct
-                    cam = jax.tree_util.tree_unflatten(cam_treedef,
-                                                       cam_leaves)
-                    s, a, loss = joint(s, a, k, cam, tgt, acfg, tc,
-                                       aux_lr, True)
-                    return (s, a), loss
-                (s, a), ls = jax.lax.scan(
-                    body, (state, aux),
-                    (order, [x[order] for x in cam_leaves_stacked],
-                     tgts))
-                return s, a, ls
-
-            progs["epoch_aux"] = epoch_aux
-            progs["step_aux"] = jax.jit(
-                lambda s, a, k, c, t: joint(s, a, k, c, t, acfg, tc,
-                                            aux_lr, True))
         else:
             progs["step"] = jax.jit(
                 lambda s, c, t: trainer.train_step(s, c, t, acfg, tc,
@@ -582,12 +586,13 @@ def main(argv=None) -> int:
         if args.densify:
             state, dstate = checkpoint.restore_checkpoint(
                 args.resume, (state, dstate))
-        elif pstate is not None:
-            state, pstate = checkpoint.restore_checkpoint(
-                args.resume, (state, pstate))
-        elif estate is not None:
-            state, estate = checkpoint.restore_checkpoint(
-                args.resume, (state, estate))
+        elif austate is not None:
+            # Leaf-count compatible with pre-composition checkpoints:
+            # AuxState's None modules contribute no leaves, so an old
+            # pose-only (state, PoseState) file restores into
+            # (state, AuxState(pose, None)) unchanged.
+            state, austate = checkpoint.restore_checkpoint(
+                args.resume, (state, austate))
         else:
             state = checkpoint.restore_checkpoint(args.resume, state)
         if use_dist:
@@ -777,25 +782,15 @@ def main(argv=None) -> int:
                                               cameras[k], targets[k])
             i += 1
         elif "epoch_aux" in progs and args.steps - i >= args.views:
-            aux = pstate if pstate is not None else estate
             for sel, tgt in epoch_chunks():
-                state, aux, losses_ep = progs["epoch_aux"](state, aux,
-                                                           sel, tgt)
-            if pstate is not None:
-                pstate = aux
-            else:
-                estate = aux
+                state, austate, losses_ep = progs["epoch_aux"](
+                    state, austate, sel, tgt)
             loss = losses_ep[-1]
             i += args.views
         elif "step_aux" in progs:
             k = next_step_index(i)
-            aux = pstate if pstate is not None else estate
-            state, aux, loss = progs["step_aux"](
-                state, aux, jnp.int32(k), cameras[k], targets[k])
-            if pstate is not None:
-                pstate = aux
-            else:
-                estate = aux
+            state, austate, loss = progs["step_aux"](
+                state, austate, jnp.int32(k), cameras[k], targets[k])
             i += 1
         elif not use_dist and args.steps - i >= args.views:
             for sel, tgt in epoch_chunks():
@@ -819,6 +814,8 @@ def main(argv=None) -> int:
              args.steps, dt, args.steps / dt)
 
     # Report PSNR against the held camera 0 target.
+    pstate = austate.pose if austate is not None else None
+    estate = austate.exposure if austate is not None else None
     if estate is not None:
         from gaussian_splat_ipu_tpu.train import appearance as app_lib
         dev = np.abs(np.asarray(estate.mats)
@@ -873,10 +870,8 @@ def main(argv=None) -> int:
                                      step=state.step)
         if args.densify:
             payload = (state_h, host_tree(dstate))
-        elif pstate is not None:
-            payload = (state_h, pstate)
-        elif estate is not None:
-            payload = (state_h, estate)
+        elif austate is not None:
+            payload = (state_h, austate)
         else:
             payload = state_h
         if multihost.is_primary():

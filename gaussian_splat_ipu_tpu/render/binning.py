@@ -23,6 +23,7 @@ Everything is static-shaped and jit-compatible; the sort runs on-device.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -284,82 +285,109 @@ _sorted_feature_table.defvjp(_sorted_feature_table_fwd,
                              _sorted_feature_table_bwd)
 
 
-@jax.custom_vjp
-def _fused_sorted_feature_table(packed, rank, gid_pre, depth_keep_bits,
-                                ntx_s):
-    """Single-radix-pass variant of _sorted_feature_table.
+@functools.lru_cache(maxsize=None)
+def _make_fused_table(use_dscatter: bool):
+    """Single-radix-pass feature-table builder (factory; one custom_vjp
+    instance per expansion strategy).
 
     The sort key packs (tile, quantized depth) into one i32:
     key = (tile << depth_keep_bits) | (depth_bits >> (31 - depth_keep_bits))
     where depth_bits is the order-isomorphic i32 view of the positive f32
-    depth. One stable radix pass replaces the two of the exact path — the
-    sort is the dominant binning cost, so this halves it. Ties within a
-    depth quantum fall back to gaussian-id order (stable sort over the
-    ascending pre-sort gid). depth_keep_bits/ntx_s are traced i32 scalars.
+    depth. One stable radix pass replaces the two of the exact path. Ties
+    within a depth quantum fall back to gaussian-id order (stable sort
+    over the ascending pre-sort gid). depth_keep_bits/ntx_s are traced
+    i32 scalars.
 
     packed is (N+1, NUM_FEATURES + 3): the extra columns are the PACKED
     COVERAGE GEOMETRY (x0 | y0<<12 | nx<<24 | masked<<30) and the two
     64-bit exact-coverage mask words, bitcast to f32 so they ride the one
-    per-pair row gather — a standalone (P,) geometry gather costs
-    ~30 ms at P=2^22 on v5e (TPU gathers run ~1 element/cycle; a second
-    gather of the same rows is NOT amortised), so the destination tile of
-    each pair is derived HERE from the gathered row + the pair's rank
-    (_pair_tile_decode). Only the 10 feature columns ride the sort.
+    run-length expansion; the destination tile of each pair is derived
+    from the expanded row + the pair's rank (_pair_tile_decode). Only the
+    10 feature columns ride the sort as carried values (sorting
+    (key, gid) alone and row-gathering afterwards loses: the SHUFFLED
+    (P, 10) gather costs ~4.7x the carried sort, bench_sort 'sortgather').
 
-    The 10 feature columns ride the sort as carried values (an interleaved
-    A/B against sort-(key,gid)-then-gather measured no win for the gather
-    variant at P=2^17..2^22 on v5e).
+    Expansion strategies (`slots` = per-gaussian exclusive pair offsets,
+    (N+1,) incl. the pad sentinel):
+
+      use_dscatter=False — ascending row gather packed[gid_pre] (the r1-r3
+        path). TPU gathers run ~1 row/~10ns: at P=3.9M this is ~42 ms,
+        over half the 1M-frame binning cost (bench_sort 'rgatherasc').
+      use_dscatter=True — gather-free delta-scatter: scatter i32 row
+        DELTAS (packed[k] - packed[k-1], bitcast) at each gaussian's
+        first pair slot, then ONE cumsum along P reconstructs the
+        expanded table EXACTLY (mod-2^32 integer telescoping; skipped
+        gaussians' deltas accumulate onto the next kept gaussian's slot
+        because exclusive offsets do not advance on zero coverage; the
+        zero sentinel row's delta lands at slot `total` and zeroes the
+        pad tail). Costs one (N, F) row scatter-add + an (F,)-column
+        cumsum over P — N rows instead of P rows through the slow
+        row-addressing path.
 
     Returns (feats (TABLE_ROWS, P), tile_s (P,), gid_s (P,)).
     """
-    is_pad = gid_pre >= packed.shape[0] - 1
-    table = packed[gid_pre]                    # (P, F+3) ascending gather
-    geom_g = jax.lax.bitcast_convert_type(table[:, NUM_FEATURES],
-                                          jnp.int32)
-    mlo_g = jax.lax.bitcast_convert_type(table[:, NUM_FEATURES + 1],
-                                         jnp.int32)
-    mhi_g = jax.lax.bitcast_convert_type(table[:, NUM_FEATURES + 2],
-                                         jnp.int32)
-    tx, ty = _pair_tile_decode(geom_g, mlo_g, mhi_g, rank)
-    tile = ty * ntx_s + tx
-    depth_bits = jax.lax.bitcast_convert_type(table[:, FEAT_DEPTH],
+
+    def build_table(packed, gid_pre, slots):
+        if not use_dscatter:
+            return packed[gid_pre]             # (P, F+3) ascending gather
+        p = gid_pre.shape[0]
+        nfeat = packed.shape[1]
+        pi32 = jax.lax.bitcast_convert_type(packed, jnp.int32)
+        delta = pi32 - jnp.concatenate(
+            [jnp.zeros((1, nfeat), jnp.int32), pi32[:-1]])
+        acc = jnp.zeros((p, nfeat), jnp.int32).at[slots].add(delta,
+                                                             mode="drop")
+        return jax.lax.bitcast_convert_type(jnp.cumsum(acc, axis=0),
+                                            jnp.float32)
+
+    @jax.custom_vjp
+    def fused_table(packed, rank, gid_pre, slots, depth_keep_bits, ntx_s):
+        is_pad = gid_pre >= packed.shape[0] - 1
+        table = build_table(packed, gid_pre, slots)
+        geom_g = jax.lax.bitcast_convert_type(table[:, NUM_FEATURES],
                                               jnp.int32)
-    key = jnp.where(
-        is_pad, jnp.int32(0x7FFFFFFF),
-        (tile << depth_keep_bits)
-        | (depth_bits >> (jnp.int32(31) - depth_keep_bits)))
-    cols = [table[:, i] for i in range(NUM_FEATURES)]
-    out = jax.lax.sort(tuple([key, gid_pre] + cols), num_keys=1)
-    feats = jnp.concatenate(
-        [jnp.stack(out[2:], axis=0),
-         jnp.zeros((TABLE_ROWS - NUM_FEATURES, rank.shape[0]),
-                   jnp.float32)], axis=0)          # (TABLE_ROWS, P)
-    # Pads recover as 0x7FFFFFFF >> bits >= num_tiles: still pads.
-    return feats, out[0] >> depth_keep_bits, out[1]
+        mlo_g = jax.lax.bitcast_convert_type(table[:, NUM_FEATURES + 1],
+                                             jnp.int32)
+        mhi_g = jax.lax.bitcast_convert_type(table[:, NUM_FEATURES + 2],
+                                             jnp.int32)
+        tx, ty = _pair_tile_decode(geom_g, mlo_g, mhi_g, rank)
+        tile = ty * ntx_s + tx
+        depth_bits = jax.lax.bitcast_convert_type(table[:, FEAT_DEPTH],
+                                                  jnp.int32)
+        key = jnp.where(
+            is_pad, jnp.int32(0x7FFFFFFF),
+            (tile << depth_keep_bits)
+            | (depth_bits >> (jnp.int32(31) - depth_keep_bits)))
+        cols = [table[:, i] for i in range(NUM_FEATURES)]
+        out = jax.lax.sort(tuple([key, gid_pre] + cols), num_keys=1)
+        feats = jnp.concatenate(
+            [jnp.stack(out[2:], axis=0),
+             jnp.zeros((TABLE_ROWS - NUM_FEATURES, rank.shape[0]),
+                       jnp.float32)], axis=0)      # (TABLE_ROWS, P)
+        # Pads recover as 0x7FFFFFFF >> bits >= num_tiles: still pads.
+        return feats, out[0] >> depth_keep_bits, out[1]
 
+    def fused_table_fwd(packed, rank, gid_pre, slots, depth_keep_bits,
+                        ntx_s):
+        out = fused_table(packed, rank, gid_pre, slots, depth_keep_bits,
+                          ntx_s)
+        return out, (out[2], packed.shape[0])
 
-def _fused_sorted_feature_table_fwd(packed, rank, gid_pre, depth_keep_bits,
-                                    ntx_s):
-    out = _fused_sorted_feature_table(packed, rank, gid_pre,
-                                      depth_keep_bits, ntx_s)
-    return out, (out[2], packed.shape[0])
+    def fused_table_bwd(res, cotangents):
+        gid_s, n_rows = res
+        rows = cotangents[0][:NUM_FEATURES].T      # (P, F)
+        # Whole-row scatter-add, then a zero column for the integer
+        # geometry payload (mixing an advanced index with a column slice
+        # in one scatter lowers to a pathologically slow XLA scatter on
+        # TPU).
+        dbody = jnp.zeros((n_rows, NUM_FEATURES), rows.dtype)
+        dbody = dbody.at[gid_s].add(rows)
+        dpacked = jnp.concatenate(
+            [dbody, jnp.zeros((n_rows, 3), rows.dtype)], axis=-1)
+        return dpacked, None, None, None, None, None
 
-
-def _fused_sorted_feature_table_bwd(res, cotangents):
-    gid_s, n_rows = res
-    rows = cotangents[0][:NUM_FEATURES].T          # (P, F)
-    # Whole-row scatter-add, then a zero column for the integer geometry
-    # payload (mixing an advanced index with a column slice in one
-    # scatter lowers to a pathologically slow XLA scatter on TPU).
-    dbody = jnp.zeros((n_rows, NUM_FEATURES), rows.dtype)
-    dbody = dbody.at[gid_s].add(rows)
-    dpacked = jnp.concatenate(
-        [dbody, jnp.zeros((n_rows, 3), rows.dtype)], axis=-1)
-    return dpacked, None, None, None, None
-
-
-_fused_sorted_feature_table.defvjp(_fused_sorted_feature_table_fwd,
-                                   _fused_sorted_feature_table_bwd)
+    fused_table.defvjp(fused_table_fwd, fused_table_bwd)
+    return fused_table
 
 
 @jax.custom_vjp
@@ -603,9 +631,9 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
             [jnp.concatenate(
                 [body, i32col(geom), i32col(mlo), i32col(mhi)], axis=-1),
              jnp.zeros((1, NUM_FEATURES + 3), jnp.float32)])
-        feats, tile_s, gid_s = _fused_sorted_feature_table(
-            packed, rank, gid_pre, jnp.int32(31 - tile_bits),
-            jnp.int32(ntx_key))
+        feats, tile_s, gid_s = _make_fused_table(cfg.expand_scatter)(
+            packed, rank, gid_pre, offsets_ext,
+            jnp.int32(31 - tile_bits), jnp.int32(ntx_key))
     else:
         # Exact path computes the destination tile here (extra (P,)
         # geometry gathers; this is the debug/fallback path).

@@ -83,6 +83,15 @@ class RasterConfig:
     # the exact sort only for gaussians closer together than that
     # resolution; set False for the exact two-pass (tile, full-depth) sort.
     fused_sort_key: bool = True
+    # Pair-table expansion strategy for the fused sort path. False: the
+    # (P, 13) ascending row gather packed[gid_pre] — TPU row gathers run
+    # ~10 ns/row, ~42 ms at 1M-gaussian pair counts (over half of
+    # binning). True: gather-free delta-scatter — i32 row deltas
+    # scattered at each gaussian's first pair slot + one cumsum along P
+    # reconstruct the expanded table exactly (mod-2^32 telescoping): an
+    # N-row scatter instead of a P-row gather. Pixel-identical; see
+    # render/binning.py::_make_fused_table.
+    expand_scatter: bool = False
     # Depth-presort binning: sort the N gaussians by depth once (cheap —
     # N << P pairs), expand pairs in depth order, then bin with a
     # TILE-ONLY single-key sort (stability preserves the depth order

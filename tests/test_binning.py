@@ -126,6 +126,54 @@ def test_fused_key_matches_exact_sort():
                                   np.asarray(b_exact.tile_ends))
 
 
+def test_expand_scatter_matches_gather_bitwise():
+    """The delta-scatter expansion (expand_scatter=True) must reproduce
+    the gather expansion BIT-FOR-BIT: mod-2^32 telescoping of i32 row
+    deltas is exact, including skipped gaussians (zero coverage), the
+    pad tail, and gradient flow through the shared custom VJP."""
+    import dataclasses
+
+    import jax
+
+    rng = np.random.default_rng(13)
+    n = 96
+    xy = rng.uniform(-10, [138, 74], (n, 2)).astype(np.float32)  # some
+    # offscreen -> zero-coverage gaussians interleave with covered ones
+    depth = rng.uniform(0.5, 9.0, n).astype(np.float32)
+    s = make_splats(xy.tolist(), [3.0] * n, depth=depth.tolist())
+    cfg_s = dataclasses.replace(CFG, expand_scatter=True)
+    a = binning.bin_splats(s, CFG)
+    b = binning.bin_splats(s, cfg_s)
+    np.testing.assert_array_equal(np.asarray(a.features),
+                                  np.asarray(b.features))
+    np.testing.assert_array_equal(np.asarray(a.pair_gid),
+                                  np.asarray(b.pair_gid))
+    np.testing.assert_array_equal(np.asarray(a.tile_starts),
+                                  np.asarray(b.tile_starts))
+    np.testing.assert_array_equal(np.asarray(a.tile_ends),
+                                  np.asarray(b.tile_ends))
+    assert int(a.num_pairs) == int(b.num_pairs)
+
+    # Gradients: identical custom VJP on both strategies.
+    def loss_with(cfg):
+        def f(opacity):
+            bb = binning.bin_splats(s._replace(opacity=opacity), cfg)
+            return jnp.sum(bb.features[binning.FEAT_OPACITY] ** 2)
+        return jax.grad(f)(s.opacity)
+
+    np.testing.assert_array_equal(np.asarray(loss_with(CFG)),
+                                  np.asarray(loss_with(cfg_s)))
+
+    # Overflow regime: both strategies degrade identically (counted).
+    tiny = dataclasses.replace(CFG, pair_capacity=32)
+    tiny_s = dataclasses.replace(tiny, expand_scatter=True)
+    a2 = binning.bin_splats(s, tiny)
+    b2 = binning.bin_splats(s, tiny_s)
+    assert int(a2.overflow) == int(b2.overflow) > 0
+    np.testing.assert_array_equal(np.asarray(a2.features),
+                                  np.asarray(b2.features))
+
+
 def test_fused_key_gradients_flow():
     """The fused table's custom VJP scatter-adds cotangents per gaussian
     identically to the exact path's."""
