@@ -167,17 +167,18 @@ def main():
         "fused_tight_relaxed": lambda: dataclasses.replace(
             base, pair_capacity=probed("base", base)[1],
             strict_termination=False),
-        # Gather-free expansion (delta-scatter + cumsum; bit-identical —
-        # tests/test_binning.py::test_expand_scatter_matches_gather_bitwise)
-        "fused_tight_dscatter": lambda: dataclasses.replace(
+        # Expansion A/B: expand_kernel (Pallas stream-expand; the
+        # default on TPU) vs the XLA row gather
+        # (tests/test_binning.py::test_expand_kernel_matches_gather).
+        "fused_tight_xgather": lambda: dataclasses.replace(
             base, pair_capacity=probed("base", base)[1],
-            expand_scatter=True),
-        "fused_tight_group2_tt_dscatter": lambda: dataclasses.replace(
+            expand_kernel=False),
+        "fused_tight_group2_tt_xgather": lambda: dataclasses.replace(
             base_g2_tt, pair_capacity=probed("group2_tt", base_g2_tt)[1],
-            expand_scatter=True),
-        "fused_tight_group4_tt_dscatter": lambda: dataclasses.replace(
+            expand_kernel=False),
+        "fused_tight_group4_tt_xgather": lambda: dataclasses.replace(
             base_g4_tt, pair_capacity=probed("group4_tt", base_g4_tt)[1],
-            expand_scatter=True),
+            expand_kernel=False),
     }
     only = os.environ.get("GSPLAT_VARIANTS", "")
     if only:

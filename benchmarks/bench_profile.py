@@ -1,13 +1,19 @@
 """Stage-level breakdown of the frame at a given scale.
 
-The 1M-gaussian frame (north-star config 5) costs ~85 ms on one v5e chip
-while the dominant-looking radix sort microbenchmarks at only ~5 ms
-(benchmarks/bench_sort.py) — so where does the frame go? This times the
-pipeline cumulatively (project; +bin; +rasterize; +untile) and the binning
-internals in isolation (expansion scans; gather+sort; CSR searchsorted),
-all with the two-point chained-scan method (utils/profiling.py rationale:
-per-frame host sync through the axon tunnel measures ~40 ms of transfer
-latency instead of the device).
+Round-4 answer (v5e, 1M gaussians, tight 3.88M-pair capacity): project
+0.8 ms | project+bin 77.9 ms | +rasterize 80.6 ms — **binning is ~95% of
+the frame**; rasterize is ~2.8 ms (early termination works). Within
+binning the fixed bench_sort (DCE-proof) shows the 12-operand radix sort
+is only ~5 ms/2^20 pairs (~19 ms at 3.88M) while the (P, 13) expansion
+row GATHER costs ~11 ms/2^20 rows (~42 ms at 3.88M) — the gather, not
+the sort, is the wall (the pre-r3 "sort wall" analysis was built on
+DCE'd microbenchmarks and is retracted; see BASELINE.md round-4).
+
+This times the pipeline cumulatively (project; +bin; +rasterize;
++untile) and the binning internals in isolation (expansion scans;
+gather+sort; CSR searchsorted), all with the two-point chained-scan
+method (utils/profiling.py rationale: per-frame host sync through the
+axon tunnel measures ~40 ms of transfer latency instead of the device).
 
 Run on the real chip:  python benchmarks/bench_profile.py [n] [cap_log2]
 """
@@ -138,18 +144,21 @@ def main():
 
     x0, y0, nx, ny = binning.tile_ranges_of(splats, cfg)
     ncov = (nx * ny).astype(jnp.int32)
-    geom = jnp.where(ncov > 0, x0 | (y0 << 12) | (nx << 24), 0)
     body = jnp.concatenate([
         splats.xy, splats.conic, splats.color,
         splats.opacity[:, None], splats.depth[:, None]], axis=-1)
+    live = ncov > 0
 
-    def i32col(x):
-        return jax.lax.bitcast_convert_type(x, jnp.float32)[:, None]
+    def f24(v):
+        return jnp.where(live, v, 0).astype(jnp.float32)[:, None]
 
+    # 16-column fused-path layout (see binning._make_fused_table).
     packed = jnp.concatenate(
-        [jnp.concatenate([body, i32col(geom), i32col(jnp.zeros_like(geom)),
-                          i32col(jnp.zeros_like(geom))], axis=-1),
-         jnp.zeros((1, binning.NUM_FEATURES + 3), jnp.float32)])
+        [jnp.concatenate([body, f24(x0 | (y0 << 12)), f24(nx),
+                          f24(jnp.zeros_like(x0)), f24(jnp.zeros_like(x0)),
+                          f24(jnp.zeros_like(x0)), f24(jnp.zeros_like(x0))],
+                         axis=-1),
+         jnp.zeros((1, binning.NUM_FEATURES + 6), jnp.float32)])
 
     # Fixed (rank, gid_pre) from one expansion, reused across iterations.
     ncov_ext = jnp.concatenate([ncov, jnp.array([p], jnp.int32)])
@@ -190,16 +199,26 @@ def main():
 
     timed("bin: expansion scans", s_expand, ncov)
     timed("bin: row gather only", s_gather_only, packed, gid_pre)
+
+    from gaussian_splat_ipu_tpu.render.kernels import expand as expand_mod
+    packed_t = expand_mod.pad_packed_cols(packed)
+
+    def s_expand_kernel(a, packed_t, gid_pre):
+        gp = gid_pre + (a * 0).astype(jnp.int32)
+        ex = expand_mod.expand_pairs(packed_t, gp)
+        return jnp.sum(ex[:, ::997]) * 1e-9
+
+    timed("bin: expand kernel", s_expand_kernel, packed_t, gid_pre)
     key31 = jnp.asarray(
         np.random.default_rng(0).integers(0, 1 << 31, p, dtype=np.int32))
     cols = [packed[gid_pre][:, i] for i in range(10)]
     timed("bin: sort only (12 ops)", s_sort_only, key31, gid_pre,
           jnp.stack(cols))
     feats, tile_s, gid_s = jax.jit(
-        lambda pk, r, g, sl: binning._make_fused_table(False)(
-            pk, r, g, sl, jnp.int32(31 - tile_bits),
+        lambda pk, r, g: binning._make_fused_table(False, False)(
+            pk, r, g, jnp.int32(31 - tile_bits),
             jnp.int32(cfg.tiles_x))
-    )(packed, rank, gid_pre, offsets_ext)
+    )(packed, rank, gid_pre)
     timed("bin: CSR searchsorted", s_csr, tile_s)
 
     # Rasterize alone on fixed binned inputs.

@@ -184,6 +184,29 @@ def main():
 
     timed("cumsum13: 13 separate (P,) cumsums", colcumsum, key31)
 
+    def rscatter_only(k):
+        d = nrows_i + k[0]
+        acc = jnp.zeros((P, F), jnp.int32).at[slots].add(d, mode="drop")
+        return perturb(k + (jnp.sum(acc[::1297]) & 0x7FFF), 1 << 31)
+
+    timed("rscatter: (N,13) row scatter into (P,13)", rscatter_only, key31)
+
+    def dscatter_cols(k):
+        # The production candidate: one row scatter, then per-COLUMN
+        # slices + packed (P,) cumsums (the (P,13) 2D cumsum pads 13
+        # lanes to 128 and runs ~6x slower; the sort consumes separate
+        # columns anyway).
+        d = nrows_i + k[0]
+        acc = jnp.zeros((P, F), jnp.int32).at[slots].add(d, mode="drop")
+        s = jnp.int32(0)
+        for c in range(F):
+            col = jnp.cumsum(acc[:, c])
+            s = s + col[-1] + col[P // 3]
+        return perturb(k + (s & 0x7FFF), 1 << 31)
+
+    timed("dscatcol: row scatter + 13 column cumsums", dscatter_cols,
+          key31)
+
 
 if __name__ == "__main__":
     main()

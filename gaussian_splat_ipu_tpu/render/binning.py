@@ -189,20 +189,27 @@ def _coverage_masks(splats: ProjectedSplats, cfg: RasterConfig,
 
 
 def _pair_tile_decode(geom_g, mlo_g, mhi_g, rank):
-    """Per-pair rank -> (tx, ty) tile coordinates.
-
-    geom_g packs (x0 | y0<<12 | nx<<24 | masked<<30). Unmasked: row-major
-    walk of the coverage rectangle via the floor-exact f32 rcp-multiply
-    (the VPU has no int divider; exact while quotient*divisor < 2^24).
-    Masked (exact_tile_test): rank selects the rank-th SET BIT of the
-    64-bit coverage mask — a 5-step binary search over popcounts of
-    shrinking windows, all VPU-streamable ops (~40/pair, no gathers).
-    """
-    popcount = jax.lax.population_count
+    """Per-pair rank -> (tx, ty), from the 31-bit packed geometry
+    (x0 | y0<<12 | nx<<24 | masked<<30) used by the exact/presort
+    fallback paths."""
     gx0 = geom_g & 0xFFF
     gy0 = (geom_g >> 12) & 0xFFF
     gnx = jnp.maximum((geom_g >> 24) & 0x3F, 1)
     masked = (geom_g >> 30) & 1
+    return _decode_tiles(gx0, gy0, gnx, masked, mlo_g, mhi_g, rank)
+
+
+def _decode_tiles(gx0, gy0, gnx, masked, mlo_g, mhi_g, rank):
+    """Per-pair rank -> (tx, ty) tile coordinates.
+
+    Unmasked: row-major walk of the coverage rectangle via the
+    floor-exact f32 rcp-multiply (the VPU has no int divider; exact
+    while quotient*divisor < 2^24). Masked (exact_tile_test): rank
+    selects the rank-th SET BIT of the 64-bit coverage mask — a 5-step
+    binary search over popcounts of shrinking windows, all
+    VPU-streamable ops (~40/pair, no gathers).
+    """
+    popcount = jax.lax.population_count
     # Unmasked rectangle walk.
     ty_u = jnp.floor(rank.astype(jnp.float32)
                      / gnx.astype(jnp.float32)).astype(jnp.int32)
@@ -285,8 +292,14 @@ _sorted_feature_table.defvjp(_sorted_feature_table_fwd,
                              _sorted_feature_table_bwd)
 
 
+# Test hook: force the Pallas expand kernel (interpret mode) on non-TPU
+# backends, where bin_splats otherwise keeps the pure-jnp gather so the
+# CPU spec stays kernel-free and fast.
+FORCE_EXPAND_KERNEL = False
+
+
 @functools.lru_cache(maxsize=None)
-def _make_fused_table(use_dscatter: bool):
+def _make_fused_table(use_kernel: bool, interpret: bool):
     """Single-radix-pass feature-table builder (factory; one custom_vjp
     instance per expansion strategy).
 
@@ -298,93 +311,110 @@ def _make_fused_table(use_dscatter: bool):
     over the ascending pre-sort gid). depth_keep_bits/ntx_s are traced
     i32 scalars.
 
-    packed is (N+1, NUM_FEATURES + 3): the extra columns are the PACKED
-    COVERAGE GEOMETRY (x0 | y0<<12 | nx<<24 | masked<<30) and the two
-    64-bit exact-coverage mask words, bitcast to f32 so they ride the one
-    run-length expansion; the destination tile of each pair is derived
-    from the expanded row + the pair's rank (_pair_tile_decode). Only the
-    10 feature columns ride the sort as carried values (sorting
+    packed is (N+1, 16): the 10 feature columns plus SIX exact-in-f32
+    integer payload columns — xy0 = x0 | y0<<12 (24-bit), nxm = nx |
+    masked<<6 (7-bit), and the four 16-bit halves of the two coverage-
+    mask words. Small non-negative integers encode EXACTLY as f32, so
+    the payload survives both expansion strategies (the Pallas kernel's
+    one-hot MXU matmul would canonicalise NaN bit patterns that a raw
+    i32 bitcast can produce). The destination tile of each pair is
+    derived from the expanded columns + the pair's rank (_decode_tiles);
+    only the 10 feature columns ride the sort as carried values (sorting
     (key, gid) alone and row-gathering afterwards loses: the SHUFFLED
-    (P, 10) gather costs ~4.7x the carried sort, bench_sort 'sortgather').
+    (P, 10) gather costs ~4.7x the carried sort, bench_sort
+    'sortgather').
 
-    Expansion strategies (`slots` = per-gaussian exclusive pair offsets,
-    (N+1,) incl. the pad sentinel):
+    Expansion strategies:
 
-      use_dscatter=False — ascending row gather packed[gid_pre] (the r1-r3
-        path). TPU gathers run ~1 row/~10ns: at P=3.9M this is ~42 ms,
-        over half the 1M-frame binning cost (bench_sort 'rgatherasc').
-      use_dscatter=True — gather-free delta-scatter: scatter i32 row
-        DELTAS (packed[k] - packed[k-1], bitcast) at each gaussian's
-        first pair slot, then ONE cumsum along P reconstructs the
-        expanded table EXACTLY (mod-2^32 integer telescoping; skipped
-        gaussians' deltas accumulate onto the next kept gaussian's slot
-        because exclusive offsets do not advance on zero coverage; the
-        zero sentinel row's delta lands at slot `total` and zeroes the
-        pad tail). Costs one (N, F) row scatter-add + an (F,)-column
-        cumsum over P — N rows instead of P rows through the slow
-        row-addressing path.
+      use_kernel=False — ascending row gather packed[gid_pre]. TPU row
+        gathers run ~10 ns/row: ~42 ms at P=3.9M, over half the 1M-frame
+        binning cost (bench_sort 'rgatherasc').
+      use_kernel=True — the Pallas stream-expand kernel
+        (render/kernels/expand.py): windowed one-hot MXU selection,
+        ~6x cheaper. Its window bound requires the frame's worst
+        128-pair sub-block row span to fit (long culled runs in
+        spatially-coherent scenes can exceed it), so a cheap per-frame
+        span check picks kernel vs gather via lax.cond; pad columns are
+        zeroed post-sort (the gather's zero sentinel row, restored).
 
     Returns (feats (TABLE_ROWS, P), tile_s (P,), gid_s (P,)).
     """
+    from gaussian_splat_ipu_tpu.render.kernels import expand as expand_mod
 
-    def build_table(packed, gid_pre, slots):
-        if not use_dscatter:
-            return packed[gid_pre]             # (P, F+3) ascending gather
-        p = gid_pre.shape[0]
-        nfeat = packed.shape[1]
-        pi32 = jax.lax.bitcast_convert_type(packed, jnp.int32)
-        delta = pi32 - jnp.concatenate(
-            [jnp.zeros((1, nfeat), jnp.int32), pi32[:-1]])
-        acc = jnp.zeros((p, nfeat), jnp.int32).at[slots].add(delta,
-                                                             mode="drop")
-        return jax.lax.bitcast_convert_type(jnp.cumsum(acc, axis=0),
-                                            jnp.float32)
+    def gather_cols(args):
+        packed, gid_pre = args
+        table = packed[gid_pre]                # (P, 16) ascending gather
+        return tuple(table[:, i] for i in range(packed.shape[1]))
+
+    def kernel_cols(args):
+        packed, gid_pre = args
+        packed_t = expand_mod.pad_packed_cols(packed)
+        ex = expand_mod.expand_pairs(packed_t, gid_pre,
+                                     interpret=interpret)
+        return tuple(ex[i] for i in range(packed.shape[1]))
 
     @jax.custom_vjp
-    def fused_table(packed, rank, gid_pre, slots, depth_keep_bits, ntx_s):
-        is_pad = gid_pre >= packed.shape[0] - 1
-        table = build_table(packed, gid_pre, slots)
-        geom_g = jax.lax.bitcast_convert_type(table[:, NUM_FEATURES],
-                                              jnp.int32)
-        mlo_g = jax.lax.bitcast_convert_type(table[:, NUM_FEATURES + 1],
-                                             jnp.int32)
-        mhi_g = jax.lax.bitcast_convert_type(table[:, NUM_FEATURES + 2],
-                                             jnp.int32)
-        tx, ty = _pair_tile_decode(geom_g, mlo_g, mhi_g, rank)
+    def fused_table(packed, rank, gid_pre, depth_keep_bits, ntx_s):
+        n = packed.shape[0] - 1
+        is_pad = gid_pre >= n
+        if use_kernel:
+            span = expand_mod.max_subblock_span(gid_pre, n)
+            all_cols = jax.lax.cond(span <= expand_mod.WIN,
+                                    kernel_cols, gather_cols,
+                                    (packed, gid_pre))
+        else:
+            all_cols = gather_cols((packed, gid_pre))
+
+        def f2i(x):
+            return x.astype(jnp.int32)
+
+        xy0 = f2i(all_cols[NUM_FEATURES])
+        nxm = f2i(all_cols[NUM_FEATURES + 1])
+        mlo_g = (f2i(all_cols[NUM_FEATURES + 3]) << 16) \
+            | f2i(all_cols[NUM_FEATURES + 2])
+        mhi_g = (f2i(all_cols[NUM_FEATURES + 5]) << 16) \
+            | f2i(all_cols[NUM_FEATURES + 4])
+        tx, ty = _decode_tiles(xy0 & 0xFFF, xy0 >> 12,
+                               jnp.maximum(nxm & 0x3F, 1),
+                               (nxm >> 6) & 1, mlo_g, mhi_g, rank)
         tile = ty * ntx_s + tx
-        depth_bits = jax.lax.bitcast_convert_type(table[:, FEAT_DEPTH],
+        depth_bits = jax.lax.bitcast_convert_type(all_cols[FEAT_DEPTH],
                                                   jnp.int32)
         key = jnp.where(
             is_pad, jnp.int32(0x7FFFFFFF),
             (tile << depth_keep_bits)
             | (depth_bits >> (jnp.int32(31) - depth_keep_bits)))
-        cols = [table[:, i] for i in range(NUM_FEATURES)]
+        cols = list(all_cols[:NUM_FEATURES])
         out = jax.lax.sort(tuple([key, gid_pre] + cols), num_keys=1)
+        tile_s = out[0] >> depth_keep_bits
+        stacked = jnp.stack(out[2:], axis=0)
+        if use_kernel:
+            # Pad pairs expanded through the kernel carry window-clamp
+            # junk; restore the gather's zero sentinel content. (Pads
+            # recover as 0x7FFFFFFF >> bits >= any real tile id.)
+            stacked = jnp.where(out[1][None, :] >= n, 0.0, stacked)
         feats = jnp.concatenate(
-            [jnp.stack(out[2:], axis=0),
+            [stacked,
              jnp.zeros((TABLE_ROWS - NUM_FEATURES, rank.shape[0]),
                        jnp.float32)], axis=0)      # (TABLE_ROWS, P)
-        # Pads recover as 0x7FFFFFFF >> bits >= num_tiles: still pads.
-        return feats, out[0] >> depth_keep_bits, out[1]
+        return feats, tile_s, out[1]
 
-    def fused_table_fwd(packed, rank, gid_pre, slots, depth_keep_bits,
-                        ntx_s):
-        out = fused_table(packed, rank, gid_pre, slots, depth_keep_bits,
-                          ntx_s)
-        return out, (out[2], packed.shape[0])
+    def fused_table_fwd(packed, rank, gid_pre, depth_keep_bits, ntx_s):
+        out = fused_table(packed, rank, gid_pre, depth_keep_bits, ntx_s)
+        return out, (out[2], packed.shape)
 
     def fused_table_bwd(res, cotangents):
-        gid_s, n_rows = res
+        gid_s, pshape = res
         rows = cotangents[0][:NUM_FEATURES].T      # (P, F)
-        # Whole-row scatter-add, then a zero column for the integer
-        # geometry payload (mixing an advanced index with a column slice
-        # in one scatter lowers to a pathologically slow XLA scatter on
-        # TPU).
-        dbody = jnp.zeros((n_rows, NUM_FEATURES), rows.dtype)
+        # Whole-row scatter-add, then zero columns for the integer
+        # payload (mixing an advanced index with a column slice in one
+        # scatter lowers to a pathologically slow XLA scatter on TPU).
+        dbody = jnp.zeros((pshape[0], NUM_FEATURES), rows.dtype)
         dbody = dbody.at[gid_s].add(rows)
         dpacked = jnp.concatenate(
-            [dbody, jnp.zeros((n_rows, 3), rows.dtype)], axis=-1)
-        return dpacked, None, None, None, None, None
+            [dbody, jnp.zeros((pshape[0], pshape[1] - NUM_FEATURES),
+                              rows.dtype)], axis=-1)
+        return dpacked, None, None, None, None
 
     fused_table.defvjp(fused_table_fwd, fused_table_bwd)
     return fused_table
@@ -627,13 +657,29 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
         feats, tile_s, _, gid_s = _presorted_feature_table(
             packed, rank, gid_pre, jnp.int32(ntx_key))
     elif cfg.fused_sort_key and 31 - tile_bits >= 16:
+        # 16-column packed layout for the fused path: integer payloads
+        # as exact-in-f32 pieces so the Pallas expand kernel's MXU pass
+        # cannot corrupt them (see _make_fused_table).
+        flag01 = flag >> 30
+        live = ncov > 0
+
+        def f24(v):
+            return jnp.where(live, v, 0).astype(jnp.float32)
+
+        intcols = jnp.stack([
+            f24(x0 | (y0 << 12)),
+            f24(nx | (flag01 << 6)),
+            f24(mlo & 0xFFFF), f24((mlo >> 16) & 0xFFFF),
+            f24(mhi & 0xFFFF), f24((mhi >> 16) & 0xFFFF)], axis=-1)
         packed = jnp.concatenate(
-            [jnp.concatenate(
-                [body, i32col(geom), i32col(mlo), i32col(mhi)], axis=-1),
-             jnp.zeros((1, NUM_FEATURES + 3), jnp.float32)])
-        feats, tile_s, gid_s = _make_fused_table(cfg.expand_scatter)(
-            packed, rank, gid_pre, offsets_ext,
-            jnp.int32(31 - tile_bits), jnp.int32(ntx_key))
+            [jnp.concatenate([body, intcols], axis=-1),
+             jnp.zeros((1, NUM_FEATURES + 6), jnp.float32)])
+        use_k = cfg.expand_kernel and (
+            jax.default_backend() == "tpu" or FORCE_EXPAND_KERNEL)
+        feats, tile_s, gid_s = _make_fused_table(
+            use_k, jax.default_backend() != "tpu")(
+            packed, rank, gid_pre, jnp.int32(31 - tile_bits),
+            jnp.int32(ntx_key))
     else:
         # Exact path computes the destination tile here (extra (P,)
         # geometry gathers; this is the debug/fallback path).

@@ -83,15 +83,17 @@ class RasterConfig:
     # the exact sort only for gaussians closer together than that
     # resolution; set False for the exact two-pass (tile, full-depth) sort.
     fused_sort_key: bool = True
-    # Pair-table expansion strategy for the fused sort path. False: the
-    # (P, 13) ascending row gather packed[gid_pre] — TPU row gathers run
-    # ~10 ns/row, ~42 ms at 1M-gaussian pair counts (over half of
-    # binning). True: gather-free delta-scatter — i32 row deltas
-    # scattered at each gaussian's first pair slot + one cumsum along P
-    # reconstruct the expanded table exactly (mod-2^32 telescoping): an
-    # N-row scatter instead of a P-row gather. Pixel-identical; see
-    # render/binning.py::_make_fused_table.
-    expand_scatter: bool = False
+    # Pair-table expansion strategy for the fused sort path. False
+    # (default, the measured winner): the XLA ascending row gather
+    # packed[gid_pre] — ~20 ms in-pipeline at 3.9M pairs on v5e. True:
+    # the Pallas stream-expand kernel (render/kernels/expand.py,
+    # windowed one-hot MXU selection with a per-frame span check +
+    # lax.cond gather fallback) — pixel-identical, measured 23 ms in
+    # isolation but +6.5 ms END-TO-END at 1M scale (per-sub-block
+    # fixed overheads; BENCH r4 fused_tight 86.79 vs 80.34), so it
+    # stays an option, not the default. TPU-only either way (the CPU
+    # spec keeps the pure-jnp gather).
+    expand_kernel: bool = False
     # Depth-presort binning: sort the N gaussians by depth once (cheap —
     # N << P pairs), expand pairs in depth order, then bin with a
     # TILE-ONLY single-key sort (stability preserves the depth order

