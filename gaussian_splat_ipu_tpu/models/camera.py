@@ -39,7 +39,13 @@ class Camera:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        # Bypass __init__: the pytree contract requires unflatten to
+        # accept ARBITRARY leaf stand-ins (tracers, ShapeDtypeStructs,
+        # jax-internal ArgInfo during jit(...).lower(...)); __init__'s
+        # jnp.asarray coercion would choke on them.
+        obj = object.__new__(cls)
+        obj.view, obj.proj, obj.env_rot = children
+        return obj
 
     # ---------------------------------------------------------------------
     @property
