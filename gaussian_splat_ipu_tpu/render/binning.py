@@ -298,6 +298,120 @@ _sorted_feature_table.defvjp(_sorted_feature_table_fwd,
 FORCE_EXPAND_KERNEL = False
 
 
+def _decode_key_sort(all_cols, rank, gid_pre, n, depth_keep_bits, ntx_s):
+    """Shared fused-path tail: decode per-pair tiles from the expanded
+    geometry columns + rank, build the (tile << depth_keep_bits | qdepth)
+    key, run the ONE stable radix pass carrying the 10 feature columns,
+    zero pad columns, and append the zero block up to TABLE_ROWS.
+
+    Returns (feats (TABLE_ROWS, P), tile_s, gid_s)."""
+    is_pad = gid_pre >= n
+
+    def f2i(x):
+        return x.astype(jnp.int32)
+
+    xy0 = f2i(all_cols[NUM_FEATURES])
+    nxm = f2i(all_cols[NUM_FEATURES + 1])
+    mlo_g = (f2i(all_cols[NUM_FEATURES + 3]) << 16) \
+        | f2i(all_cols[NUM_FEATURES + 2])
+    mhi_g = (f2i(all_cols[NUM_FEATURES + 5]) << 16) \
+        | f2i(all_cols[NUM_FEATURES + 4])
+    tx, ty = _decode_tiles(xy0 & 0xFFF, xy0 >> 12,
+                           jnp.maximum(nxm & 0x3F, 1),
+                           (nxm >> 6) & 1, mlo_g, mhi_g, rank)
+    tile = ty * ntx_s + tx
+    depth_bits = jax.lax.bitcast_convert_type(all_cols[FEAT_DEPTH],
+                                              jnp.int32)
+    key = jnp.where(
+        is_pad, jnp.int32(0x7FFFFFFF),
+        (tile << depth_keep_bits)
+        | (depth_bits >> (jnp.int32(31) - depth_keep_bits)))
+    cols = list(all_cols[:NUM_FEATURES])
+    out = jax.lax.sort(tuple([key, gid_pre] + cols), num_keys=1)
+    tile_s = out[0] >> depth_keep_bits
+    stacked = jnp.stack(out[2:], axis=0)
+    # Pad pairs expanded through a clamping kernel carry junk; restore
+    # the gather's zero sentinel content unconditionally (no-op for the
+    # gather branch, whose pads expand the zero row).
+    stacked = jnp.where(out[1][None, :] >= n, 0.0, stacked)
+    feats = jnp.concatenate(
+        [stacked,
+         jnp.zeros((TABLE_ROWS - NUM_FEATURES, rank.shape[0]),
+                   jnp.float32)], axis=0)          # (TABLE_ROWS, P)
+    return feats, tile_s, out[1]
+
+
+@functools.lru_cache(maxsize=None)
+def _make_stream_table(interpret: bool):
+    """Round-5 stream binning front-end (factory; one custom_vjp
+    instance per interpret mode).
+
+    Replaces BOTH P-wide pieces of the fused path with one Pallas pass
+    (render/kernels/expand.py::stream_expand): the expansion scans
+    (cummax of the scattered ids + segment-rank — 12.33 ms of XLA
+    cumulative ops at P=3.9M, bench_profile r4) run as in-kernel
+    log-shift networks with SMEM carries, fused with the windowed
+    dynamic-gather row expansion (the XLA ascending row gather they fed
+    measured ~25 ms at the same scale). Inputs are only the N-scale
+    scatter product gid_at; a per-frame span check falls back to the
+    XLA scans + gather via lax.cond when any CHUNK-pair step's source
+    window would not fit (long culled runs).
+
+    custom_vjp: the whole block is a row-selection of `packed`; the
+    backward is ONE whole-row scatter-add of the cotangent rows keyed by
+    the sorted gaussian id (see _sorted_feature_table)."""
+    from gaussian_splat_ipu_tpu.render.kernels import expand as expand_mod
+
+    @jax.custom_vjp
+    def stream_table(packed, gid_at, depth_keep_bits, ntx_s):
+        n = packed.shape[0] - 1
+        p = gid_at.shape[0]
+        p_pad = -(-p // expand_mod.CHUNK) * expand_mod.CHUNK
+        los, first, last = expand_mod.window_starts(gid_at, p_pad, n)
+        span = jnp.max(last - (first // 128) * 128 + 1)
+        packed_t = expand_mod.pad_packed_cols(packed)
+
+        def kernel_branch(args):
+            packed, packed_t, gid_at = args
+            cols, gid, rank = expand_mod.stream_expand(
+                packed_t, gid_at, los, interpret=interpret)
+            return (tuple(cols[i] for i in range(16)), gid, rank)
+
+        def scan_branch(args):
+            packed, packed_t, gid_at = args
+            gid = jax.lax.cummax(gid_at)
+            slot = jnp.arange(p, dtype=jnp.int32)
+            prev_gid = jnp.concatenate(
+                [jnp.full((1,), -1, jnp.int32), gid[:-1]])
+            rank = slot - jax.lax.cummax(
+                jnp.where(gid != prev_gid, slot, 0))
+            table = packed[gid]            # (P, 16) ascending gather
+            return (tuple(table[:, i] for i in range(16)), gid, rank)
+
+        all_cols, gid_pre, rank = jax.lax.cond(
+            span <= expand_mod.WIN, kernel_branch, scan_branch,
+            (packed, packed_t, gid_at))
+        return _decode_key_sort(all_cols, rank, gid_pre, n,
+                                depth_keep_bits, ntx_s)
+
+    def stream_table_fwd(packed, gid_at, depth_keep_bits, ntx_s):
+        out = stream_table(packed, gid_at, depth_keep_bits, ntx_s)
+        return out, (out[2], packed.shape)
+
+    def stream_table_bwd(res, cotangents):
+        gid_s, pshape = res
+        rows = cotangents[0][:NUM_FEATURES].T      # (P, F)
+        dbody = jnp.zeros((pshape[0], NUM_FEATURES), rows.dtype)
+        dbody = dbody.at[gid_s].add(rows)
+        dpacked = jnp.concatenate(
+            [dbody, jnp.zeros((pshape[0], pshape[1] - NUM_FEATURES),
+                              rows.dtype)], axis=-1)
+        return dpacked, None, None, None
+
+    stream_table.defvjp(stream_table_fwd, stream_table_bwd)
+    return stream_table
+
+
 @functools.lru_cache(maxsize=None)
 def _make_fused_table(use_kernel: bool, interpret: bool):
     """Single-radix-pass feature-table builder (factory; one custom_vjp
@@ -324,80 +438,28 @@ def _make_fused_table(use_kernel: bool, interpret: bool):
     (P, 10) gather costs ~4.7x the carried sort, bench_sort
     'sortgather').
 
-    Expansion strategies:
-
-      use_kernel=False — ascending row gather packed[gid_pre]. TPU row
-        gathers run ~10 ns/row: ~42 ms at P=3.9M, over half the 1M-frame
-        binning cost (bench_sort 'rgatherasc').
-      use_kernel=True — the Pallas stream-expand kernel
-        (render/kernels/expand.py): windowed one-hot MXU selection,
-        ~6x cheaper. Its window bound requires the frame's worst
-        128-pair sub-block row span to fit (long culled runs in
-        spatially-coherent scenes can exceed it), so a cheap per-frame
-        span check picks kernel vs gather via lax.cond; pad columns are
-        zeroed post-sort (the gather's zero sentinel row, restored).
+    Expansion strategy here is the XLA ascending row gather
+    packed[gid_pre] (TPU row gathers run ~10 ns/row: ~25 ms at P=3.9M,
+    bench_profile r4) — the measured-fallback path. The DEFAULT TPU path
+    is _make_stream_table (the round-5 Pallas stream front-end, ~20x
+    cheaper); this factory remains the spec path for CPU and the
+    expand_kernel=False A/B.
 
     Returns (feats (TABLE_ROWS, P), tile_s (P,), gid_s (P,)).
     """
-    from gaussian_splat_ipu_tpu.render.kernels import expand as expand_mod
+    del use_kernel, interpret  # kept for the lru_cache key / API compat
 
     def gather_cols(args):
         packed, gid_pre = args
         table = packed[gid_pre]                # (P, 16) ascending gather
         return tuple(table[:, i] for i in range(packed.shape[1]))
 
-    def kernel_cols(args):
-        packed, gid_pre = args
-        packed_t = expand_mod.pad_packed_cols(packed)
-        ex = expand_mod.expand_pairs(packed_t, gid_pre,
-                                     interpret=interpret)
-        return tuple(ex[i] for i in range(packed.shape[1]))
-
     @jax.custom_vjp
     def fused_table(packed, rank, gid_pre, depth_keep_bits, ntx_s):
         n = packed.shape[0] - 1
-        is_pad = gid_pre >= n
-        if use_kernel:
-            span = expand_mod.max_subblock_span(gid_pre, n)
-            all_cols = jax.lax.cond(span <= expand_mod.WIN,
-                                    kernel_cols, gather_cols,
-                                    (packed, gid_pre))
-        else:
-            all_cols = gather_cols((packed, gid_pre))
-
-        def f2i(x):
-            return x.astype(jnp.int32)
-
-        xy0 = f2i(all_cols[NUM_FEATURES])
-        nxm = f2i(all_cols[NUM_FEATURES + 1])
-        mlo_g = (f2i(all_cols[NUM_FEATURES + 3]) << 16) \
-            | f2i(all_cols[NUM_FEATURES + 2])
-        mhi_g = (f2i(all_cols[NUM_FEATURES + 5]) << 16) \
-            | f2i(all_cols[NUM_FEATURES + 4])
-        tx, ty = _decode_tiles(xy0 & 0xFFF, xy0 >> 12,
-                               jnp.maximum(nxm & 0x3F, 1),
-                               (nxm >> 6) & 1, mlo_g, mhi_g, rank)
-        tile = ty * ntx_s + tx
-        depth_bits = jax.lax.bitcast_convert_type(all_cols[FEAT_DEPTH],
-                                                  jnp.int32)
-        key = jnp.where(
-            is_pad, jnp.int32(0x7FFFFFFF),
-            (tile << depth_keep_bits)
-            | (depth_bits >> (jnp.int32(31) - depth_keep_bits)))
-        cols = list(all_cols[:NUM_FEATURES])
-        out = jax.lax.sort(tuple([key, gid_pre] + cols), num_keys=1)
-        tile_s = out[0] >> depth_keep_bits
-        stacked = jnp.stack(out[2:], axis=0)
-        if use_kernel:
-            # Pad pairs expanded through the kernel carry window-clamp
-            # junk; restore the gather's zero sentinel content. (Pads
-            # recover as 0x7FFFFFFF >> bits >= any real tile id.)
-            stacked = jnp.where(out[1][None, :] >= n, 0.0, stacked)
-        feats = jnp.concatenate(
-            [stacked,
-             jnp.zeros((TABLE_ROWS - NUM_FEATURES, rank.shape[0]),
-                       jnp.float32)], axis=0)      # (TABLE_ROWS, P)
-        return feats, tile_s, out[1]
+        all_cols = gather_cols((packed, gid_pre))
+        return _decode_key_sort(all_cols, rank, gid_pre, n,
+                                depth_keep_bits, ntx_s)
 
     def fused_table_fwd(packed, rank, gid_pre, depth_keep_bits, ntx_s):
         out = fused_table(packed, rank, gid_pre, depth_keep_bits, ntx_s)
@@ -610,17 +672,28 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
     iota_n = jnp.arange(n + 1, dtype=jnp.int32)
     gid_at = jnp.zeros((p,), jnp.int32).at[first_slot].max(iota_n,
                                                            mode="drop")
-    gid = jax.lax.cummax(gid_at)
-    # Rank within the owner's range from gid TRANSITIONS: segment starts
-    # are where gid changes, forward-filled with one more cummax. Scan-free
-    # alternatives measured at P=2^22 on v5e: offsets_ext[gid] (a (P,)
-    # gather) ~31 ms, a second scatter+cummax fill ~12 ms, this ~4 ms —
-    # TPU gathers run ~1 element/cycle, shifts/compares run 8x128/cycle.
-    slot = jnp.arange(p, dtype=jnp.int32)
-    prev_gid = jnp.concatenate(
-        [jnp.full((1,), -1, jnp.int32), gid[:-1]])
-    rank = slot - jax.lax.cummax(jnp.where(gid != prev_gid, slot, 0))
-    is_pad = gid >= n
+    # The round-5 stream front-end consumes gid_at directly (the P-wide
+    # cummax/rank scans run INSIDE the Pallas kernel as log-shift
+    # networks, ~100x cheaper than XLA's cumulative ops — see
+    # _make_stream_table); only the fallback paths below pay the XLA
+    # scans.
+    use_stream = (cfg.fused_sort_key and 31 - tile_bits >= 16
+                  and not use_presort and cfg.expand_kernel and n > 0
+                  and (jax.default_backend() == "tpu"
+                       or FORCE_EXPAND_KERNEL))
+    if not use_stream:
+        gid = jax.lax.cummax(gid_at)
+        # Rank within the owner's range from gid TRANSITIONS: segment
+        # starts are where gid changes, forward-filled with one more
+        # cummax. Scan-free alternatives measured at P=2^22 on v5e:
+        # offsets_ext[gid] (a (P,) gather) ~31 ms, a second
+        # scatter+cummax fill ~12 ms, this ~4 ms — TPU gathers run ~1
+        # element/cycle, shifts/compares run 8x128/cycle.
+        slot = jnp.arange(p, dtype=jnp.int32)
+        prev_gid = jnp.concatenate(
+            [jnp.full((1,), -1, jnp.int32), gid[:-1]])
+        rank = slot - jax.lax.cummax(jnp.where(gid != prev_gid, slot, 0))
+        is_pad = gid >= n
 
     # Per-gaussian packed rows (N+1, 16); row N stays zero for pad pairs, so
     # padding renders as alpha=0 and a garbage-free conic. Expanded to the
@@ -630,7 +703,8 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
     # Chunk-aligned capacity means the last tile's floor-aligned chunk walk
     # never overruns the table — no extra pad column block needed.
     assert p % cfg.chunk_size == 0, "pair_capacity must be chunk-aligned"
-    gid_pre = jnp.where(is_pad, n, gid)
+    if not use_stream:
+        gid_pre = jnp.where(is_pad, n, gid)
     # Sort-path selection. Fused: single (tile | quantized-depth) i32 key
     # when the tile id and a useful depth share an i32 (>=16 depth bits).
     # Presort: gaussians already depth-ordered above, tile-only key.
@@ -658,8 +732,8 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
             packed, rank, gid_pre, jnp.int32(ntx_key))
     elif cfg.fused_sort_key and 31 - tile_bits >= 16:
         # 16-column packed layout for the fused path: integer payloads
-        # as exact-in-f32 pieces so the Pallas expand kernel's MXU pass
-        # cannot corrupt them (see _make_fused_table).
+        # as exact-in-f32 pieces (small non-negative ints encode exactly
+        # in f32) so every expansion strategy moves them verbatim.
         flag01 = flag >> 30
         live = ncov > 0
 
@@ -674,12 +748,16 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
         packed = jnp.concatenate(
             [jnp.concatenate([body, intcols], axis=-1),
              jnp.zeros((1, NUM_FEATURES + 6), jnp.float32)])
-        use_k = cfg.expand_kernel and (
-            jax.default_backend() == "tpu" or FORCE_EXPAND_KERNEL)
-        feats, tile_s, gid_s = _make_fused_table(
-            use_k, jax.default_backend() != "tpu")(
-            packed, rank, gid_pre, jnp.int32(31 - tile_bits),
-            jnp.int32(ntx_key))
+        if use_stream:
+            feats, tile_s, gid_s = _make_stream_table(
+                jax.default_backend() != "tpu")(
+                packed, gid_at, jnp.int32(31 - tile_bits),
+                jnp.int32(ntx_key))
+        else:
+            feats, tile_s, gid_s = _make_fused_table(
+                False, False)(
+                packed, rank, gid_pre, jnp.int32(31 - tile_bits),
+                jnp.int32(ntx_key))
     else:
         # Exact path computes the destination tile here (extra (P,)
         # geometry gathers; this is the debug/fallback path).

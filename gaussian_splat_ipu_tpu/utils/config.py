@@ -83,17 +83,18 @@ class RasterConfig:
     # the exact sort only for gaussians closer together than that
     # resolution; set False for the exact two-pass (tile, full-depth) sort.
     fused_sort_key: bool = True
-    # Pair-table expansion strategy for the fused sort path. False
-    # (default, the measured winner): the XLA ascending row gather
-    # packed[gid_pre] — ~20 ms in-pipeline at 3.9M pairs on v5e. True:
-    # the Pallas stream-expand kernel (render/kernels/expand.py,
-    # windowed one-hot MXU selection with a per-frame span check +
-    # lax.cond gather fallback) — pixel-identical, measured 23 ms in
-    # isolation but +6.5 ms END-TO-END at 1M scale (per-sub-block
-    # fixed overheads; BENCH r4 fused_tight 86.79 vs 80.34), so it
-    # stays an option, not the default. TPU-only either way (the CPU
-    # spec keeps the pure-jnp gather).
-    expand_kernel: bool = False
+    # Pair-table expansion strategy for the fused sort path. True
+    # (default since round 5): the Pallas stream-expand v2 kernel
+    # (render/kernels/expand.py) — within-128-lane dynamic gather over a
+    # 2048-row window per 2048-pair step, bit-identical to the XLA
+    # ascending row gather and measured 1.40 ms vs the gather's tens of
+    # ms at 2^21 pairs on v5e (the round-4 MXU one-hot kernel it
+    # replaces lost its A/B at +6.5 ms end-to-end; v2 wins it ~10x).
+    # A per-frame span check falls back to the XLA gather via lax.cond
+    # when any 2048-pair step's source-row span exceeds the window
+    # (long culled runs). False: always the XLA gather. TPU-only either
+    # way (the CPU spec keeps the pure-jnp gather).
+    expand_kernel: bool = True
     # Depth-presort binning: sort the N gaussians by depth once (cheap —
     # N << P pairs), expand pairs in depth order, then bin with a
     # TILE-ONLY single-key sort (stability preserves the depth order
