@@ -254,6 +254,77 @@ def main():
 
     ms_1m = 1e3 * float(np.median([measure_1m() for _ in range(3)]))
 
+    # Clustered-1M variant (VERDICT r4 #6): Gaussian-mixture positions +
+    # log-normal scales — occlusion coherence and tile-occupancy skew the
+    # uniform scene lacks, so early-exit benefit and sort-segment skew
+    # stay on the record. Same probe + timing discipline.
+    model_1mc = GaussianModel.clustered(jax.random.PRNGKey(0), n1m,
+                                        extent=1.0)
+    d1mc = int(jax.jit(demand_1m)(model_1mc, jnp.float32(0.0)))
+    cap_1mc = max(-(-int(1.15 * d1mc) // cfg_1m.chunk_size)
+                  * cfg_1m.chunk_size, 4 * cfg_1m.chunk_size)
+    cfg_1mc = dataclasses.replace(cfg_1m, pair_capacity=cap_1mc)
+
+    def frames_1mc(m, angles):
+        def body(acc, a):
+            cam = Camera.orbit(-bb1, bb1, fov, aspect, rot_y_deg=a)
+            out = render(m, cam, cfg_1mc, True)
+            return acc + out.image[::97, ::97].sum(), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), angles)
+        return acc
+
+    jf1mc = jax.jit(frames_1mc)
+    float(jf1mc(model_1mc, b1))
+    float(jf1mc(model_1mc, b2))
+
+    def measure_1mc():
+        t0 = time.perf_counter()
+        float(jf1mc(model_1mc, b1))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(jf1mc(model_1mc, b2))
+        t2 = time.perf_counter() - t0
+        return (t2 - t1) / 6.0
+
+    ms_1mc = 1e3 * float(np.median([measure_1mc() for _ in range(3)]))
+
+    # 1M-scale BACKWARD (VERDICT r4 #3 / north-star configs 3+5): full
+    # train step (forward + backward rasterize replay + binning VJP
+    # scatter-add + projection VJP + adam) at 720p on the uniform 1M
+    # scene, winner config, demand-probed capacity — single chip. Any
+    # >15% regression in the 1M backward is now driver-visible.
+    tc_1m = trainer_lib.TrainConfig(ssim_weight=0.0)
+    cam_1m = Camera.orbit(-bb1, bb1, fov, aspect, rot_y_deg=0.0)
+    target_1m = jax.jit(render_image, static_argnums=(2, 3))(
+        model_1m, cam_1m, cfg_1m, True)
+    state_1m = trainer_lib.init_state(model_1m, tc_1m)
+
+    def steps_1m(state, k_arr):
+        def body(s, _):
+            s, loss = trainer_lib.train_step(s, cam_1m, target_1m,
+                                             cfg_1m, tc_1m, True)
+            return s, loss
+        s, ls = jax.lax.scan(body, state, k_arr)
+        return ls[-1]
+
+    js1m = jax.jit(steps_1m)
+    t1a = jnp.zeros((1,), jnp.float32)
+    t1b = jnp.zeros((4,), jnp.float32)
+    float(js1m(state_1m, t1a))
+    float(js1m(state_1m, t1b))
+
+    def measure_train_1m():
+        t0 = time.perf_counter()
+        float(js1m(state_1m, t1a))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(js1m(state_1m, t1b))
+        t2 = time.perf_counter() - t0
+        return (t2 - t1) / 3.0
+
+    train_1m_ms = 1e3 * float(np.median(
+        [measure_train_1m() for _ in range(3)]))
+
     # ONE JSON line (driver contract); auxiliary metrics ride as extra
     # keys: the relaxed-kernel fps (same scene/capacity), the 1M-gaussian
     # frame time, the pinned capacities, and config-3 latency — so every
@@ -265,9 +336,17 @@ def main():
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "fps_relaxed": round(fps_relaxed, 2),
         "pair_capacity": cfg.pair_capacity,
+        # Msplats/s per chip: the second primary metric BASELINE.json
+        # names (VERDICT r4 #4) — gaussians submitted per second of
+        # frame time, headline scene and 1M scale.
+        "msplats_per_s": round(fps * n / 1e6, 2),
+        "msplats_per_s_1m": round((1e3 / ms_1m) * (n1m / 1e6), 2),
         "train_step_ms_640x360": round(train_ms, 2),
         "frame_ms_1m_720p": round(ms_1m, 2),
         "pair_capacity_1m": cap_1m,
+        "frame_ms_1m_clustered": round(ms_1mc, 2),
+        "pair_capacity_1m_clustered": cap_1mc,
+        "train_step_ms_1m_720p": round(train_1m_ms, 2),
         "config_1m": "tile_group=2,exact_tile_test=1,strict",
         "median_of": 5,
         "strict_termination": True,

@@ -51,6 +51,8 @@ def main():
     tile_group = int(os.environ.get("GSPLAT_TILE_GROUP", "1"))
     cap = int(os.environ.get("GSPLAT_PAIR_CAP", str(1 << cap_log2)))
     relaxed = os.environ.get("GSPLAT_RELAXED", "") == "1"
+    tiletest = os.environ.get("GSPLAT_TILETEST", "") == "1"
+    xgather = os.environ.get("GSPLAT_XGATHER", "") == "1"
     print("devices:", jax.devices(), flush=True)
     model = GaussianModel.random(jax.random.PRNGKey(0), n, extent=1.0)
     bb = np.array([1.0, 1.0, 1.0], np.float32)
@@ -58,9 +60,12 @@ def main():
     cfg = RasterConfig(image_width=WIDTH, image_height=HEIGHT,
                        pair_capacity=-(-cap // 128) * 128,
                        tile_group=tile_group,
-                       strict_termination=not relaxed)
+                       strict_termination=not relaxed,
+                       exact_tile_test=tiletest,
+                       expand_kernel=not xgather)
     print(f"config: tile_group={tile_group} pair_capacity="
-          f"{cfg.pair_capacity} strict={not relaxed}", flush=True)
+          f"{cfg.pair_capacity} strict={not relaxed} tt={tiletest} "
+          f"expand_kernel={not xgather}", flush=True)
 
     def cam_of(a):
         return Camera.orbit(-bb, bb, fov, WIDTH / HEIGHT, rot_y_deg=a)

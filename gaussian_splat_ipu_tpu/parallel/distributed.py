@@ -84,7 +84,14 @@ def _unpack_splats(f: jnp.ndarray) -> ProjectedSplats:
 
 
 def _rows_per_device(cfg: RasterConfig, num_devices: int) -> int:
-    return -(-cfg.tiles_y // num_devices)
+    """Tile rows per device, rounded UP to a multiple of tile_group so
+    every strip covers whole group rows (no boundary group is binned
+    twice; the tail device's phantom rows are clamped in bin_splats).
+    This makes the measured-best config (tile_group=2 + exact_tile_test,
+    the round-4 1M campaign winner) valid on any mesh size."""
+    rows = -(-cfg.tiles_y // num_devices)
+    g = cfg.tile_group
+    return -(-rows // g) * g
 
 
 def _dest_strip_span(sp: ProjectedSplats, cfg: RasterConfig, rows: int):

@@ -188,6 +188,33 @@ def _coverage_masks(splats: ProjectedSplats, cfg: RasterConfig,
     return testable, mlo, mhi, count
 
 
+def _coverage_masks_dispatch(splats: ProjectedSplats, cfg: RasterConfig,
+                             x0, y0, nx, ny, cell_w, cell_h):
+    """Backend dispatch for the exact coverage masks: the Pallas
+    in-register kernel on TPU (render/kernels/coverage.py — the XLA
+    fori_loop round-trips its 3-word carry through HBM 64 times, a
+    hidden multi-ms cost of exact_tile_test at 1M, round-5 profile),
+    the XLA loop elsewhere (the CPU spec stays kernel-free)."""
+    on_tpu = jax.default_backend() == "tpu"
+    if not (on_tpu or FORCE_EXPAND_KERNEL):
+        return _coverage_masks(splats, cfg, x0, y0, nx, ny,
+                               cell_w=cell_w, cell_h=cell_h)
+    from gaussian_splat_ipu_tpu.render.kernels import coverage
+
+    sg = jax.lax.stop_gradient
+    testable = (nx <= MASK_SPAN) & (ny <= MASK_SPAN) & (nx * ny > 0)
+    geomf = jnp.stack([
+        sg(splats.xy[:, 0]), sg(splats.xy[:, 1]),
+        sg(splats.conic[:, 0]), sg(splats.conic[:, 1]),
+        sg(splats.conic[:, 2]), sg(splats.opacity)], axis=0)
+    geomi = jnp.stack([x0, y0, nx, ny,
+                       testable.astype(jnp.int32)], axis=0)
+    mlo, mhi, count = coverage.coverage_masks_tpu(
+        geomf, geomi, tw=float(cell_w), th=float(cell_h),
+        alpha_min=float(cfg.alpha_min), interpret=not on_tpu)
+    return testable, mlo, mhi, count
+
+
 def _pair_tile_decode(geom_g, mlo_g, mhi_g, rank):
     """Per-pair rank -> (tx, ty), from the 31-bit packed geometry
     (x0 | y0<<12 | nx<<24 | masked<<30) used by the exact/presort
@@ -559,18 +586,15 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
     ntx = cfg.tiles_x
     num_tiles = cfg.num_tiles
     g = cfg.tile_group
-    if g > 1:
-        # Tile-group binning (see RasterConfig.tile_group): pairs are
-        # keyed by super-tile. Composes with exact_tile_test (the
-        # coverage mask is evaluated over GROUP cells below). Explicit
-        # raise (not assert): a USER-config error that must survive
-        # python -O.
-        if row_lo is not None and (num_rows is None or num_rows % g):
-            # Strips must cover whole group rows: groups may not span
-            # devices (each device owns complete group ranges).
-            raise ValueError(
-                f"tile_group={g} needs the per-device row count "
-                f"({num_rows}) to be a multiple of the group size")
+    # Tile-group binning (see RasterConfig.tile_group): pairs are keyed
+    # by super-tile; composes with exact_tile_test (the coverage mask is
+    # evaluated over GROUP cells below). Row strips need NOT align to
+    # group rows: a group row straddling two devices is binned by both
+    # (each from its own clamped tile-row view), and per-pixel coverage
+    # tests make superset pair lists harmless — the only cost is the
+    # duplicated boundary-group pairs. The distributed callers
+    # group-align their strips (_rows_per_device) so none are
+    # duplicated in practice (VERDICT r4 #5).
     if row_lo is None:
         row_lo = 0
         num_rows = cfg.tiles_y
@@ -601,9 +625,12 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
         ntx_key = -(-cfg.tiles_x // g)           # groups across
         num_keys_total = ntx_key * (-(-cfg.tiles_y // g))
         # Group-row analogue of the tile-space phantom-row slack below:
-        # uneven sharding can query group rows past the grid.
-        max_query_key = (-(-cfg.tiles_y // g)
-                         + -(-num_rows // g)) * ntx_key
+        # uneven sharding can query group rows past the grid. The bound
+        # uses the GLOBAL grid height, not this strip's num_rows (which
+        # it dominates), so tile_bits — and hence the fused key's depth
+        # quantization — is IDENTICAL across device counts: a sharded
+        # render is bit-identical to the single-device one.
+        max_query_key = 2 * (-(-cfg.tiles_y // g)) * ntx_key
     else:
         ntx_key = ntx
         num_keys_total = num_tiles
@@ -616,7 +643,7 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
         # enumerated (the ellipse misses many corner cells of the
         # bounding rectangle). Output is pixel-identical; every O(P)
         # binning pass and the per-tile compositing shrink.
-        testable, mlo, mhi, ncov_x = _coverage_masks(
+        testable, mlo, mhi, ncov_x = _coverage_masks_dispatch(
             splats, cfg, x0, y0, nx, ny,
             cell_w=g * cfg.tile_width, cell_h=g * cfg.tile_height)
         ncov = jnp.where(testable, ncov_x, ncov).astype(jnp.int32)
@@ -634,8 +661,10 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
         splats.opacity[:, None], splats.depth[:, None],
     ], axis=-1)                                   # (N, 10)
 
+    # Global-grid bound (not num_rows) for the same bit-consistency
+    # reason as max_query_key above.
     max_query_tid = (max_query_key if g > 1
-                     else (cfg.tiles_y + num_rows) * ntx)
+                     else 2 * cfg.tiles_y * ntx)
     tile_bits = (max_query_tid + 1).bit_length()
     use_presort = (cfg.presort_depth and cfg.fused_sort_key
                    and tile_bits <= 31 and n > 0)

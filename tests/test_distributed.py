@@ -244,22 +244,94 @@ class TestShardedTileGroup:
         np.testing.assert_allclose(np.asarray(out.image),
                                    np.asarray(ref.image), atol=1e-5)
 
-    def test_misaligned_strip_rejected(self):
-        """Strips that split a group (rows per device not a multiple of
-        the group size) raise a clear config error."""
+    def test_group_unaligned_device_count(self):
+        """8 tile rows over 8 devices with tile_group=2: strips are
+        group-ALIGNED by rounding rows-per-device up to the group size
+        (r5, VERDICT r4 #5) — devices 4-7 own only phantom rows — and
+        the output still matches the ungrouped single-device render."""
         import dataclasses
 
-        import pytest
-
         model, camera = _scene(seed=8, n=64)
-        # 8 rows over 8 devices = 1 row/device; group 2 spans devices.
         cfg = RasterConfig(image_width=64, image_height=128,
                            tile_width=16, tile_height=16,
                            pair_capacity=1 << 12, max_chunks_per_tile=8,
-                           tile_group=2)
+                           extent_sigma=0.0)
+        ref = render(model, camera, cfg, use_pallas=False)
         mesh = meshlib.make_mesh(8)
         sharded = meshlib.shard_model(model, mesh)
-        with pytest.raises(ValueError, match="multiple of the group"):
-            distributed.render_sharded(sharded, camera, cfg, mesh,
-                                       use_pallas=False,
-                                       pair_capacity=1 << 12)
+        gcfg = dataclasses.replace(cfg, tile_group=2)
+        out = distributed.render_sharded(sharded, camera, gcfg, mesh,
+                                         use_pallas=False,
+                                         pair_capacity=1 << 12)
+        np.testing.assert_allclose(np.asarray(out.image),
+                                   np.asarray(ref.image), atol=1e-5)
+
+    def test_winner_config_720p_8dev_matches_single(self):
+        """The campaign-winner config (tile_group=2 + exact_tile_test)
+        at the flagship 1280x720 geometry on an 8-device mesh (45 tile
+        rows -> 6-row group-aligned strips + phantom tail) reproduces
+        the single-device render (VERDICT r4 #5 'Done' criterion).
+
+        Tolerance note: the BINNING is bit-exact across strip splits on
+        identical projected inputs (test below); the end-to-end image
+        is compared to one alpha-quantum (1/255) because projection and
+        compositing compile as DIFFERENT XLA programs single-device vs
+        shard_map — f32 reassociation differs, and a 1-ulp conic/depth
+        change can flip a pair across the alpha_min=1/255 skip
+        threshold. Measured: max |diff| == 1/255 exactly, relative
+        <= transmittance_eps, identical for all_gather (global set,
+        global order) and all_to_all — i.e. numerics, not routing."""
+        model, camera = _scene(seed=9, n=384)
+        cfg = RasterConfig(image_width=1280, image_height=720,
+                           pair_capacity=1 << 13, max_chunks_per_tile=8,
+                           tile_group=2, exact_tile_test=True)
+        ref = render(model, camera, cfg, use_pallas=False)
+        mesh = meshlib.make_mesh(8)
+        sharded = meshlib.shard_model(model, mesh)
+        out = distributed.render_sharded(sharded, camera, cfg, mesh,
+                                         use_pallas=False,
+                                         pair_capacity=1 << 13)
+        assert int(out.overflow) == 0
+        np.testing.assert_allclose(np.asarray(out.image),
+                                   np.asarray(ref.image),
+                                   atol=1.01 / 255)
+
+    def test_winner_config_strip_binning_bit_exact(self):
+        """Row-strip binning (the per-device path) is BIT-identical to
+        full-grid binning per covered tile on the same projected
+        inputs, in the winner config at 720p with the r5 group-aligned
+        6-row strips — the invariant the renderer controls (the image
+        tolerance above is pure cross-program float reassociation)."""
+        from gaussian_splat_ipu_tpu.render import binning
+        from gaussian_splat_ipu_tpu.render.projection import (
+            project_gaussians)
+
+        model, camera = _scene(seed=9, n=384)
+        cfg = RasterConfig(image_width=1280, image_height=720,
+                           pair_capacity=1 << 13, max_chunks_per_tile=8,
+                           tile_group=2, exact_tile_test=True)
+        sp = project_gaussians(model, camera, cfg)
+        full = binning.bin_splats(sp, cfg)
+        f1 = np.asarray(full.features)
+        s1 = np.asarray(full.tile_starts)
+        e1 = np.asarray(full.tile_ends)
+        rows = distributed._rows_per_device(cfg, 8)
+        assert rows % cfg.tile_group == 0
+        ntx = cfg.tiles_x
+        for dev in range(8):
+            row_lo = dev * rows
+            bb = binning.bin_splats(sp, cfg, row_lo=row_lo,
+                                    num_rows=rows,
+                                    pair_capacity=cfg.pair_capacity)
+            f2 = np.asarray(bb.features)
+            s2 = np.asarray(bb.tile_starts)
+            e2 = np.asarray(bb.tile_ends)
+            for li in range(rows * ntx):
+                r = row_lo + li // ntx
+                if r >= cfg.tiles_y:
+                    continue
+                t = r * ntx + li % ntx
+                a = f1[:10, s1[t]:e1[t]]
+                c = f2[:10, s2[li]:e2[li]]
+                assert a.shape == c.shape and (a == c).all(), \
+                    f"tile {t} strip-vs-full mismatch"
