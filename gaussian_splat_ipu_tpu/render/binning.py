@@ -369,43 +369,61 @@ def _decode_key_sort(all_cols, rank, gid_pre, n, depth_keep_bits, ntx_s):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_stream_table(interpret: bool):
+def _make_stream_table(interpret: bool, p: int):
     """Round-5 stream binning front-end (factory; one custom_vjp
-    instance per interpret mode).
+    instance per (interpret, capacity)).
 
-    Replaces BOTH P-wide pieces of the fused path with one Pallas pass
-    (render/kernels/expand.py::stream_expand): the expansion scans
-    (cummax of the scattered ids + segment-rank — 12.33 ms of XLA
-    cumulative ops at P=3.9M, bench_profile r4) run as in-kernel
-    log-shift networks with SMEM carries, fused with the windowed
-    dynamic-gather row expansion (the XLA ascending row gather they fed
-    measured ~25 ms at the same scale). Inputs are only the N-scale
-    scatter product gid_at; a per-frame span check falls back to the
-    XLA scans + gather via lax.cond when any CHUNK-pair step's source
-    window would not fit (long culled runs).
+    Replaces the ENTIRE P-wide expansion stage of the fused path with
+    one carry-free Pallas pass (render/kernels/expand.py, _kernel_v4):
+    the N-point segment-start scatter (~8 ns/point serialized on TPU —
+    7-8 ms at N=1M, the round-5 piece profile), the P-wide cummax/rank
+    scans (12.33 ms at P=3.9M, bench_profile r4), and the P-row
+    expansion gather (~25 ms) all collapse into an in-register binary
+    search over each step's offset window fused with the windowed
+    dynamic-gather row expansion. The only inputs are the per-gaussian
+    slot OFFSETS (the N-scale cumsum the pipeline needs anyway); a
+    per-frame span check falls back to the XLA scatter+scans+gather via
+    lax.cond when a step's source window would not fit (long culled
+    runs).
 
     custom_vjp: the whole block is a row-selection of `packed`; the
     backward is ONE whole-row scatter-add of the cotangent rows keyed by
     the sorted gaussian id (see _sorted_feature_table)."""
     from gaussian_splat_ipu_tpu.render.kernels import expand as expand_mod
 
+    # Interpret mode (CPU tests) uses small steps/windows: the Pallas
+    # interpreter dispatches each runtime op individually, so window
+    # sweeps must stay short; the compiled TPU path uses the full sizes.
+    chunk = 256 if interpret else expand_mod.CHUNK
+    win = 512 if interpret else expand_mod.WIN
+
     @jax.custom_vjp
-    def stream_table(packed, gid_at, depth_keep_bits, ntx_s):
+    def stream_table(packed, offs, depth_keep_bits, ntx_s):
         n = packed.shape[0] - 1
-        p = gid_at.shape[0]
-        p_pad = -(-p // expand_mod.CHUNK) * expand_mod.CHUNK
-        los, first, last = expand_mod.window_starts(gid_at, p_pad, n)
-        span = jnp.max(last - (first // 128) * 128 + 1)
-        packed_t = expand_mod.pad_packed_cols(packed)
+        los, span = expand_mod.window_starts_from_offsets(offs, p, n,
+                                                          chunk=chunk)
+        packed_t = expand_mod.pad_packed_cols(packed, win=win)
+        offs_pad = jnp.concatenate(
+            [offs, jnp.full((win + 256,), jnp.int32(0x7FFFFFFF))])
+        meta = jnp.stack([offs[n], jnp.int32(n)])
 
         def kernel_branch(args):
-            packed, packed_t, gid_at = args
+            packed, packed_t, offs_pad = args
             cols, gid, rank = expand_mod.stream_expand(
-                packed_t, gid_at, los, interpret=interpret)
+                packed_t, offs_pad, los, meta, p, chunk=chunk, win=win,
+                interpret=interpret)
             return (tuple(cols[i] for i in range(16)), gid, rank)
 
         def scan_branch(args):
-            packed, packed_t, gid_at = args
+            packed, packed_t, offs = args
+            # XLA fallback: the scatter + cummax + rank + row gather of
+            # rounds 1-4 (only traced; executes on span violation).
+            ncov_ext = jnp.diff(jnp.concatenate(
+                [offs, jnp.array([offs[n] + p], jnp.int32)]))
+            first_slot = jnp.where(ncov_ext > 0, offs, p)
+            iota_n = jnp.arange(n + 1, dtype=jnp.int32)
+            gid_at = jnp.zeros((p,), jnp.int32).at[first_slot].max(
+                iota_n, mode="drop")
             gid = jax.lax.cummax(gid_at)
             slot = jnp.arange(p, dtype=jnp.int32)
             prev_gid = jnp.concatenate(
@@ -416,13 +434,14 @@ def _make_stream_table(interpret: bool):
             return (tuple(table[:, i] for i in range(16)), gid, rank)
 
         all_cols, gid_pre, rank = jax.lax.cond(
-            span <= expand_mod.WIN, kernel_branch, scan_branch,
-            (packed, packed_t, gid_at))
+            span <= win, kernel_branch,
+            lambda args: scan_branch((args[0], args[1], offs)),
+            (packed, packed_t, offs_pad))
         return _decode_key_sort(all_cols, rank, gid_pre, n,
                                 depth_keep_bits, ntx_s)
 
-    def stream_table_fwd(packed, gid_at, depth_keep_bits, ntx_s):
-        out = stream_table(packed, gid_at, depth_keep_bits, ntx_s)
+    def stream_table_fwd(packed, offs, depth_keep_bits, ntx_s):
+        out = stream_table(packed, offs, depth_keep_bits, ntx_s)
         return out, (out[2], packed.shape)
 
     def stream_table_bwd(res, cotangents):
@@ -697,20 +716,20 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
     ends_cum = jnp.cumsum(ncov_ext)
     offsets_ext = ends_cum - ncov_ext          # exclusive
     total = ends_cum[-2] if n else jnp.int32(0)
-    first_slot = jnp.where(ncov_ext > 0, offsets_ext, p)  # drop empties
-    iota_n = jnp.arange(n + 1, dtype=jnp.int32)
-    gid_at = jnp.zeros((p,), jnp.int32).at[first_slot].max(iota_n,
-                                                           mode="drop")
-    # The round-5 stream front-end consumes gid_at directly (the P-wide
-    # cummax/rank scans run INSIDE the Pallas kernel as log-shift
-    # networks, ~100x cheaper than XLA's cumulative ops — see
-    # _make_stream_table); only the fallback paths below pay the XLA
-    # scans.
+    # The round-5 stream front-end consumes the OFFSETS directly: the
+    # N-point scatter (~8 ns/point serialized on TPU) and the P-wide
+    # cummax/rank scans all collapse into the kernel's in-register
+    # binary search (see _make_stream_table); only the fallback paths
+    # below pay the XLA scatter + scans.
     use_stream = (cfg.fused_sort_key and 31 - tile_bits >= 16
                   and not use_presort and cfg.expand_kernel and n > 0
                   and (jax.default_backend() == "tpu"
                        or FORCE_EXPAND_KERNEL))
     if not use_stream:
+        first_slot = jnp.where(ncov_ext > 0, offsets_ext, p)  # no empties
+        iota_n = jnp.arange(n + 1, dtype=jnp.int32)
+        gid_at = jnp.zeros((p,), jnp.int32).at[first_slot].max(
+            iota_n, mode="drop")
         gid = jax.lax.cummax(gid_at)
         # Rank within the owner's range from gid TRANSITIONS: segment
         # starts are where gid changes, forward-filled with one more
@@ -779,8 +798,8 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
              jnp.zeros((1, NUM_FEATURES + 6), jnp.float32)])
         if use_stream:
             feats, tile_s, gid_s = _make_stream_table(
-                jax.default_backend() != "tpu")(
-                packed, gid_at, jnp.int32(31 - tile_bits),
+                jax.default_backend() != "tpu", p)(
+                packed, offsets_ext, jnp.int32(31 - tile_bits),
                 jnp.int32(ntx_key))
         else:
             feats, tile_s, gid_s = _make_fused_table(

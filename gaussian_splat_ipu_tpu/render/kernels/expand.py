@@ -43,12 +43,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Output pairs per grid step == source-window rows. One aligned window
-# serves a whole step; the 128 slack absorbs window alignment. A frame
-# falls back to the XLA gather when any step's row span exceeds WIN
-# (max_subblock_span, checked by bin_splats via lax.cond).
+# Output pairs per grid step / source-window rows. One aligned window
+# serves a whole step; a frame falls back to the XLA gather when any
+# step's row span exceeds WIN (span check via lax.cond in bin_splats).
+# WIN = 2*CHUNK: a step can span at most CHUNK distinct gaussians, so
+# the doubled window absorbs the 128 floor-alignment slack plus up to
+# ~CHUNK culled-gaussian gaps before any fallback triggers.
 CHUNK = 2048
-WIN = 2048
+WIN = 4096
 _GRP = 128
 
 
@@ -168,230 +170,245 @@ def expand_pairs(packed_t: jnp.ndarray, gid_pre: jnp.ndarray,
     return out[:, :p]
 
 
-def pad_packed_cols(packed: jnp.ndarray) -> jnp.ndarray:
+def pad_packed_cols(packed: jnp.ndarray, win: int = WIN) -> jnp.ndarray:
     """(N+1, F<=16) row-major packed table -> (16, N_pad) feature-major,
-    zero-padded so every aligned WIN-window up to column N stays in
+    zero-padded so every aligned win-window up to column N stays in
     bounds."""
     n1, f = packed.shape
-    n_pad = (-(-n1 // _GRP) * _GRP) + WIN
+    n_pad = (-(-n1 // _GRP) * _GRP) + win
     out = jnp.zeros((16, n_pad), packed.dtype)
     return out.at[:f, :n1].set(packed.T)
 
 
 # ---------------------------------------------------------------------------
-# v3: the stream binning front-end. Fuses the P-wide expansion SCANS
-# (cummax of the scattered gaussian ids, segment-start cummax, rank) into
-# the expansion kernel itself. XLA's cumulative ops run ~100x off
-# streaming speed-of-light on TPU (the scatter+cummax+rank stage measured
-# 12.33 ms at P=3.9M, bench_profile r4 — ~0.8 ns/elem where the VPU
-# streams 8x128/cycle); in-kernel the same scans are log-shift networks
-# over VMEM-resident blocks with scalar SMEM carries across the
-# (sequential) grid, fused with the row-window gather so the pair table
-# is produced in ONE pass over HBM.
+# The stream binning front-end (v4, carry-free). Replaces the ENTIRE XLA
+# expansion stage: the N-point scatter of segment-start ids (~8 ns/point
+# serialized on TPU — 7-8 ms at N=1M, the round-5 piece profile's hidden
+# wall), the P-wide cummax/rank scans (12.33 ms at P=3.9M, bench_profile
+# r4), and the P-row expansion gather (~25 ms). Each chunk-pair step
+# DMAs the 128-aligned window of the monotone per-gaussian slot-offset
+# array plus the matching packed-table window, binary-searches every
+# slot's owning gaussian IN REGISTER (log2(win) windowed within-128
+# dynamic-gather steps over the whole step at once; sorted queries keep
+# the searched mids monotone), derives rank = slot - offset[gid] in
+# closed form, and gathers the 16 feature columns. No sequential carry:
+# blocks are independent, every input byte is read once.
+#
+# chunk/win are parameters: the TPU path uses 2048 (one aligned window
+# covers a whole step; falls back on span violation), the CPU interpret
+# path (tests) uses 256 so the interpreter's per-op dispatch cost stays
+# bounded. Loops are lax.fori_loop, not Python unrolls, so the traced
+# body stays a few hundred ops at any size (Mosaic compile time).
 # ---------------------------------------------------------------------------
 
 
-def _lane_cummax(x, width):
-    """Inclusive cummax along the lane (last) axis via log-shift rolls.
-    Rolls are circular; wrapped lanes are masked off."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    s = 1
-    while s < width:
-        shifted = pltpu.roll(x, s, axis=x.ndim - 1)
-        x = jnp.where(lane >= s, jnp.maximum(x, shifted), x)
-        s *= 2
-    return x
+def _gather_win128(arr, idx, win):
+    """Windowed within-128 dynamic gather: arr (rows, win) -> values at
+    idx (rows, 128) (window-local indices in [0, win); each row gathers
+    within its own lanes). Sweeps win/128 source windows, selecting by
+    the index high bits."""
+    rows = idx.shape[0]
+    acc = jnp.zeros(idx.shape, arr.dtype)
+    idx_l = idx & 127
+    wsel = idx >> 7
+    for w in range(win // _GRP):
+        taken = jnp.take_along_axis(arr[:, w * _GRP:(w + 1) * _GRP],
+                                    idx_l, axis=1)
+        acc = jnp.where(wsel == w, taken, acc)
+    return acc
 
 
-def _kernel_v3(los_ref, gat_ref, packed_ref, out_ref, gid_ref, rank_ref,
-               wbuf, sems, carry):
-    i = pl.program_id(0)
-    nblocks = pl.num_programs(0)
-    slot = jax.lax.rem(i, 2)
-    ngrp = CHUNK // _GRP
-    nwin = WIN // _GRP
+def _make_kernel_v4(chunk, win):
+    ngrp = chunk // _GRP
 
-    def win_dma(step, buf_slot):
-        lo = pl.multiple_of(los_ref[step], _GRP)
-        return pltpu.make_async_copy(
-            packed_ref.at[:, pl.ds(lo, WIN)], wbuf.at[buf_slot],
-            sems.at[buf_slot])
+    def kernel(los_ref, meta_ref, offs_ref, packed_ref, out_ref, gid_ref,
+               rank_ref, wbuf, obuf, gbuf, sems):
+        i = pl.program_id(0)
+        nblocks = pl.num_programs(0)
+        slot = jax.lax.rem(i, 2)
 
-    @pl.when(i == 0)
-    def _():
-        win_dma(0, 0).start()
-        carry[0] = 0   # last gid of the previous block
-        carry[1] = 0   # last segment start (global slot)
+        def dmas(step, buf_slot):
+            lo = pl.multiple_of(los_ref[step], _GRP)
+            return (pltpu.make_async_copy(
+                        packed_ref.at[:, pl.ds(lo, win)],
+                        wbuf.at[buf_slot], sems.at[buf_slot]),
+                    pltpu.make_async_copy(
+                        offs_ref.at[:, pl.ds(lo, win)],
+                        obuf.at[buf_slot], sems.at[2 + buf_slot]))
 
-    @pl.when(i + 1 < nblocks)
-    def _():
-        win_dma(i + 1, 1 - slot).start()
+        @pl.when(i == 0)
+        def _():
+            for d in dmas(0, 0):
+                d.start()
 
-    # ---- fused scans over this block's (ngrp, _GRP) slots ----
-    gat = gat_ref[0]                                   # (ngrp, _GRP) i32
-    # Inclusive cummax along lanes, then propagate row carries (rows are
-    # consecutive 128-slot runs of the flat slot order).
-    cm = _lane_cummax(gat, _GRP)
-    row_end = cm[:, _GRP - 1:]                         # (ngrp, 1)
-    # exclusive cummax over rows via log sublane shifts
-    sub = jax.lax.broadcasted_iota(jnp.int32, (ngrp, 1), 0)
-    rprev = jnp.where(sub >= 1, pltpu.roll(row_end, 1, axis=0), 0)
-    s = 1
-    while s < ngrp:
-        shifted = pltpu.roll(rprev, s, axis=0)
-        rprev = jnp.where(sub >= s + 1, jnp.maximum(rprev, shifted),
-                          rprev)
-        s *= 2
-    cgid = carry[0]
-    gid = jnp.maximum(cm, jnp.maximum(rprev, cgid))    # (ngrp, _GRP)
+        @pl.when(i + 1 < nblocks)
+        def _():
+            for d in dmas(i + 1, 1 - slot):
+                d.start()
 
-    # Segment starts: slot index where gid changes, forward-filled.
-    base = i * CHUNK
-    lane = jax.lax.broadcasted_iota(jnp.int32, (ngrp, _GRP), 1)
-    srow = jax.lax.broadcasted_iota(jnp.int32, (ngrp, _GRP), 0)
-    gslot = base + srow * _GRP + lane                  # global slot id
-    # Previous slot's gid in the flat order: within-row roll handles
-    # lanes >= 1; lane 0 of row r takes row r-1's last lane (carry-in
-    # for the very first slot). No flat reshape: that would be a
-    # Mosaic relayout.
-    rolled = pltpu.roll(gid, 1, axis=1)
-    prev_rowend = pltpu.roll(gid[:, _GRP - 1:], 1, axis=0)  # (ngrp, 1)
-    prev_gid = jnp.where(
-        lane == 0,
-        jnp.where(srow == 0, cgid, prev_rowend),
-        rolled)
-    tr = jnp.where(gid != prev_gid, gslot, 0)
-    tm = _lane_cummax(tr, _GRP)
-    trow_end = tm[:, _GRP - 1:]
-    tprev = jnp.where(sub >= 1, pltpu.roll(trow_end, 1, axis=0), 0)
-    s = 1
-    while s < ngrp:
-        shifted = pltpu.roll(tprev, s, axis=0)
-        tprev = jnp.where(sub >= s + 1, jnp.maximum(tprev, shifted),
-                          tprev)
-        s *= 2
-    seg_start = jnp.maximum(tm, jnp.maximum(tprev, carry[1]))
-    rank = gslot - seg_start
+        for d in dmas(i, slot):
+            d.wait()
+        # offs arrives replicated over the ngrp sublanes (built that way
+        # in XLA): Mosaic cannot broadcast a scratch-read (1, L) row
+        # across sublanes ("Invalid input layout"), so the replication
+        # happens before the kernel.
+        offs_b = obuf[slot][:, :win]                   # (ngrp, win)
+        lo = los_ref[i]
+        total = meta_ref[0]
+        n_real = meta_ref[1]
+        base = i * chunk
 
-    carry[0] = gid[ngrp - 1, _GRP - 1]
-    carry[1] = seg_start[ngrp - 1, _GRP - 1]
+        # Whole-step binary search, all ngrp x _GRP slots at once:
+        # rightmost window-local g with offs[g] <= slot. offs rows are
+        # broadcast across the group (sublane) axis.
+        s = base + (jax.lax.broadcasted_iota(
+            jnp.int32, (ngrp, _GRP), 0) * _GRP
+            + jax.lax.broadcasted_iota(jnp.int32, (ngrp, _GRP), 1))
 
-    gid_ref[0] = gid
-    rank_ref[0] = rank
+        def search_step(_, lo_hi):
+            lo_b, hi_b = lo_hi
+            mid = (lo_b + hi_b) >> 1
+            a = _gather_win128(offs_b, mid, win)
+            go = a <= s
+            return (jnp.where(go, mid, lo_b), jnp.where(go, hi_b, mid))
 
-    # ---- feature gather (as v2) ----
-    win_dma(i, slot).wait()
-    win = wbuf[slot]                                   # (16, WIN)
-    lo = los_ref[i]
-    for g in range(ngrp):
-        idx = jnp.minimum(gid[g] - lo, WIN - 1)[None, :]   # (1, _GRP)
-        wsel = idx >> 7
-        idx_l = jnp.broadcast_to(idx & 127, (16, _GRP))
-        acc = jnp.zeros((16, _GRP), jnp.float32)
-        w_lo = wsel[0, 0]
-        w_hi = wsel[0, _GRP - 1]
-        for w in range(nwin):
-            cond = jnp.logical_and(w >= w_lo, w <= w_hi)
-            taken = jnp.take_along_axis(
-                win[:, w * _GRP:(w + 1) * _GRP], idx_l, axis=1)
-            pick = jnp.logical_and(cond, wsel == w)
-            acc = jnp.where(pick, taken, acc)
-        out_ref[:, g * _GRP:(g + 1) * _GRP] = acc
+        lo0 = jnp.zeros((ngrp, _GRP), jnp.int32)
+        hi0 = jnp.full((ngrp, _GRP), win, jnp.int32)
+        steps = max(1, (win - 1).bit_length())
+        gid_l, _ = jax.lax.fori_loop(0, steps, search_step, (lo0, hi0))
+        start = _gather_win128(offs_b, gid_l, win)     # offs[gid]
+        is_pad = s >= total
+        gid_ref[0] = jnp.where(is_pad, n_real, gid_l + lo)
+        rank_ref[0] = jnp.where(is_pad, s - total, s - start)
+        # Stage the window-local gids in scratch, PRE-broadcast over the
+        # 16 feature rows: the feature loop reads one group per step
+        # (dynamic slicing needs a ref, and Mosaic cannot broadcast a
+        # dynamically-sliced (1, 128) row across sublanes).
+        gbuf[:, :, :] = jnp.broadcast_to(
+            jnp.minimum(gid_l, win - 1)[:, None, :], (ngrp, 16, _GRP))
+
+        # Feature expansion, one group of 128 slots per fori step (the
+        # win/128-window sweep inside is a short Python unroll).
+        win_f = wbuf[slot]                             # (16, win)
+
+        def feat_step(g, _):
+            idx16 = gbuf[g]                            # (16, _GRP)
+            wsel = idx16 >> 7
+            idx_l = idx16 & 127
+            acc = jnp.zeros((16, _GRP), jnp.float32)
+            for w in range(win // _GRP):
+                taken = jnp.take_along_axis(
+                    win_f[:, w * _GRP:(w + 1) * _GRP], idx_l, axis=1)
+                acc = jnp.where(wsel == w, taken, acc)
+            out_ref[:, pl.ds(pl.multiple_of(g * _GRP, _GRP), _GRP)] = acc
+            return 0
+
+        jax.lax.fori_loop(0, ngrp, feat_step, 0)
+
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def stream_expand(packed_t: jnp.ndarray, gid_at: jnp.ndarray,
-                  los: jnp.ndarray, interpret: bool = False):
-    """Fused scans + expansion: (16, N_pad) table + scattered ids ->
-    (cols (16, P), gid (P,), rank (P,)).
+@functools.partial(jax.jit,
+                   static_argnames=("p", "chunk", "win", "interpret"))
+def stream_expand(packed_t: jnp.ndarray, offs_pad: jnp.ndarray,
+                  los: jnp.ndarray, meta: jnp.ndarray, p: int,
+                  chunk: int = CHUNK, win: int = WIN,
+                  interpret: bool = False):
+    """Carry-free fused search + expansion.
 
-    gid_at: (P,) i32, gaussian id scattered at each segment's first slot
-    (zero elsewhere) — the pre-cummax array of the XLA scan path.
-    los: (ceil(P/CHUNK),) i32 128-aligned source-window start per step
-    (= floor128 of the first slot's owning gid), computed in XLA from
-    block maxima of gid_at — no P-wide scan needed.
-    Every live step's aligned span must fit WIN (caller-checked).
+    packed_t: (16, N_pad) feature-major table padded so any aligned
+    win-window at or below column N stays in bounds.
+    offs_pad: (N + 1 + win + 2*_GRP,) i32 non-decreasing slot offsets —
+    offs_pad[g] = first pair slot of gaussian g, offs_pad[n] = total
+    (the pad segment's start), then 0x7FFFFFFF padding. Empty gaussians
+    repeat their successor's offset; the rightmost-match search then
+    never selects them (matching the scatter-max semantics of the XLA
+    path).
+    los: (ceil(p/chunk),) i32 128-aligned per-step window starts
+    (= floor128 of the first slot's owning gid), from
+    window_starts_from_offsets. Every step's live span must fit `win`
+    (caller-checked via the same function). meta: (2,) i32
+    [total live pairs, n] for the pad sentinel.
+
+    Returns (cols (16, p), gid (p,), rank (p,)).
     """
-    p = gid_at.shape[0]
-    p_pad = -(-p // CHUNK) * CHUNK
-    if p_pad != p:
-        # Pad slots continue the last segment (gid_at zeros): harmless,
-        # dropped on return.
-        gid_at = jnp.concatenate(
-            [gid_at, jnp.zeros((p_pad - p,), jnp.int32)])
-    nblocks = p_pad // CHUNK
-    gat2d = gid_at.reshape(nblocks, CHUNK // _GRP, _GRP)
+    p_pad = -(-p // chunk) * chunk
+    nblocks = p_pad // chunk
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec((1, CHUNK // _GRP, _GRP),
-                         lambda i, los: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((16, CHUNK), lambda i, los: (0, i),
+            pl.BlockSpec((16, chunk), lambda i, los, meta: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CHUNK // _GRP, _GRP),
-                         lambda i, los: (i, 0, 0),
+            pl.BlockSpec((1, chunk // _GRP, _GRP),
+                         lambda i, los, meta: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CHUNK // _GRP, _GRP),
-                         lambda i, los: (i, 0, 0),
+            pl.BlockSpec((1, chunk // _GRP, _GRP),
+                         lambda i, los, meta: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 16, WIN), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SMEM((2,), jnp.int32),
+            pltpu.VMEM((2, 16, win), jnp.float32),
+            pltpu.VMEM((2, chunk // _GRP, win), jnp.int32),
+            pltpu.VMEM((chunk // _GRP, 16, _GRP), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     cols, gid, rank = pl.pallas_call(
-        _kernel_v3,
+        _make_kernel_v4(chunk, win),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((16, p_pad), jnp.float32),
-            jax.ShapeDtypeStruct((nblocks, CHUNK // _GRP, _GRP),
+            jax.ShapeDtypeStruct((nblocks, chunk // _GRP, _GRP),
                                  jnp.int32),
-            jax.ShapeDtypeStruct((nblocks, CHUNK // _GRP, _GRP),
+            jax.ShapeDtypeStruct((nblocks, chunk // _GRP, _GRP),
                                  jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=4 * p_pad * 16 * 2,
-            bytes_accessed=nblocks * 16 * WIN * 4 + p_pad * 76,
+            flops=((win - 1).bit_length() + 16) * 4 * p_pad,
+            bytes_accessed=nblocks * 16 * win * 4 + p_pad * 76,
             transcendentals=0),
         interpret=interpret,
-    )(los, gat2d, packed_t)
+    )(los, meta,
+      jnp.broadcast_to(offs_pad[None, :],
+                       (chunk // _GRP, offs_pad.shape[0])), packed_t)
     return (cols[:, :p], gid.reshape(p_pad)[:p],
             rank.reshape(p_pad)[:p])
 
 
-def window_starts(gid_at: jnp.ndarray, p_pad: int, n: int):
-    """128-aligned per-step source-window starts + per-step LIVE gid
-    bounds, all from block reductions (no P-wide scan).
+def window_starts_from_offsets(offs: jnp.ndarray, p: int, n: int,
+                               chunk: int = CHUNK):
+    """Per-step 128-aligned window starts + live span check from the
+    offset array alone (no scatter, no P-wide scan): gid at slot s =
+    rightmost g with offs[g] <= s, evaluated only at the chunk grid =
+    one small searchsorted.
 
-    The pad sentinel (id n at the first pad slot) is masked out: pad
-    pairs clamp to the window top inside the kernel and their junk is
-    zeroed post-sort, so only live pairs constrain the window. Returns
-    (los (nblocks,), first (nblocks,), last (nblocks,)); the caller's
-    span check is `max(last - floor128(first) + 1) <= WIN`.
+    offs: (N+1,) non-decreasing first-slot offsets (offs[n] = total).
+    Returns (los (nblocks,) i32, span () i32) where span is the worst
+    live aligned window span over steps (compare against `win`).
     """
-    p = gid_at.shape[0]
-    if p_pad != p:
-        gid_at = jnp.concatenate(
-            [gid_at, jnp.zeros((p_pad - p,), jnp.int32)])
-    nblocks = p_pad // CHUNK
-    g2 = gid_at.reshape(nblocks, CHUNK)
-    g2 = jnp.where(g2 >= n, 0, g2)
-    bmax = jnp.max(g2, axis=1)
-    # gid at each block's first slot = max over all scatter points in
-    # earlier blocks and this block's slot 0.
-    prev = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                            jax.lax.cummax(bmax)[:-1]])
-    first = jnp.maximum(prev, g2[:, 0])
-    last = jnp.maximum(jax.lax.cummax(bmax), g2[:, 0])
+    p_pad = -(-p // chunk) * chunk
+    nblocks = p_pad // chunk
+    grid = jnp.arange(nblocks + 1, dtype=jnp.int32) * chunk
+    # rightmost g with offs[g] <= s  ==  searchsorted(offs, s, 'right')-1
+    g_at = jnp.searchsorted(offs, grid, side="right").astype(
+        jnp.int32) - 1
+    first = g_at[:-1]
+    # Last LIVE gid of each step: the gaussian owning slot
+    # min(step_end, total) - 1; all-pad steps clamp to the last live
+    # gaussian overall, whose span contribution is <= _GRP.
+    total = offs[n]
+    last_slot = jnp.minimum(grid[1:] - 1, jnp.maximum(total - 1, 0))
+    last = jnp.searchsorted(offs, last_slot,
+                            side="right").astype(jnp.int32) - 1
+    last = jnp.minimum(last, n - 1)
     los = (first // _GRP) * _GRP
-    return los, first, last
+    span = jnp.max(jnp.maximum(last, first) - los + 1)
+    return los, span
