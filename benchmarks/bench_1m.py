@@ -82,7 +82,16 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 20
     cap_log2 = int(sys.argv[2]) if len(sys.argv) > 2 else 22
     print("devices:", jax.devices(), flush=True)
-    model = GaussianModel.random(jax.random.PRNGKey(0), n, extent=1.0)
+    # GSPLAT_SCENE=clustered benchmarks the Gaussian-mixture synthetic
+    # (VERDICT r4 #6): occlusion coherence + tile-occupancy skew that
+    # the uniform scene lacks — early-exit benefit and sort-segment
+    # skew enter the record. Default stays uniform for series
+    # continuity with rounds 1-4.
+    scene_kind = os.environ.get("GSPLAT_SCENE", "uniform")
+    maker = (GaussianModel.clustered if scene_kind == "clustered"
+             else GaussianModel.random)
+    model = maker(jax.random.PRNGKey(0), n, extent=1.0)
+    print(f"scene: {scene_kind}", flush=True)
     bb = np.array([1.0, 1.0, 1.0], np.float32)
     fov = float(np.radians(40.0))
 
@@ -195,7 +204,7 @@ def main():
         results[name] = round(1e3 * dt, 2)
         print(f"{name}: {1e3 * dt:.2f} ms/frame", flush=True)
 
-    record = {"n_gaussians": n,
+    record = {"n_gaussians": n, "scene": scene_kind,
               "demand": {k: v[0] for k, v in probes.items()},
               "ms_per_frame": results}
     # Back-compat flat keys (pre-r3 schema) for any consumer of the old

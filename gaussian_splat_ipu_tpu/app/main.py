@@ -125,6 +125,58 @@ def _auto_pair_capacity(scene, width: int, height: int, fov: float,
     return -(-cap // cfg.chunk_size) * cfg.chunk_size
 
 
+def _probe_cache_path(compile_cache_dir: str) -> str:
+    base = compile_cache_dir or os.path.join(
+        os.path.expanduser("~"), ".cache", "gsplat_ipu_tpu")
+    return os.path.join(base, "pair_capacity_cache.json")
+
+
+def _cached_pair_capacity(path_of_scene: str, scene, width: int,
+                          height: int, fov: float, use_pallas: bool,
+                          compile_cache_dir: str, log) -> int:
+    """The demand probe with a persistent result cache (VERDICT r4 #8).
+
+    --pair-capacity 0 re-probed a 16-render orbit (each a full jit
+    compile through the tunnel) on EVERY app start; the probed capacity
+    is a pure function of (scene, resolution, fov, kernel flavour), so
+    it is cached as JSON next to the compile cache — the saveExe /
+    loadExe discipline of the reference
+    (include/ipu/ipu_utils.hpp:59-76) applied to the one piece of
+    auto-tuning the compile cache cannot capture. The scene is keyed by
+    file identity (path, size, mtime) + gaussian count: content hashing
+    a multi-hundred-MB PLY would cost a probe's worth of IO.
+    """
+    import json
+
+    try:
+        st = os.stat(path_of_scene)
+        ident = f"{os.path.abspath(path_of_scene)}:{st.st_size}:" \
+                f"{int(st.st_mtime)}"
+    except OSError:
+        ident = path_of_scene
+    key = (f"{ident}|{scene.model.num_gaussians}|{width}x{height}|"
+           f"fov={fov:.5f}|pallas={use_pallas}")
+    cache_file = _probe_cache_path(compile_cache_dir)
+    cache = {}
+    try:
+        with open(cache_file) as f:
+            cache = json.load(f)
+        if key in cache:
+            log.info("pair capacity from probe cache: %d", cache[key])
+            return int(cache[key])
+    except (OSError, ValueError):
+        pass
+    cap = _auto_pair_capacity(scene, width, height, fov, use_pallas)
+    cache[key] = cap
+    try:
+        os.makedirs(os.path.dirname(cache_file), exist_ok=True)
+        with open(cache_file, "w") as f:
+            json.dump(cache, f, indent=1)
+    except OSError:
+        pass  # cache is an optimisation, never a failure
+    return cap
+
+
 def main(argv=None) -> int:
     args = parse_args(argv)
 
@@ -148,9 +200,10 @@ def main(argv=None) -> int:
     log.info("loaded %d gaussians from %s", n, args.input)
 
     if args.pair_capacity == 0 and args.device != "points":
-        args.pair_capacity = _auto_pair_capacity(
-            scene, args.width, args.height, np.radians(args.fov),
-            args.device == "tpu")
+        args.pair_capacity = _cached_pair_capacity(
+            args.input, scene, args.width, args.height,
+            float(np.radians(args.fov)), args.device == "tpu",
+            args.compile_cache, log)
         log.info("auto pair capacity: %d", args.pair_capacity)
     elif args.pair_capacity == 0:
         args.pair_capacity = 1 << 12  # points path never builds pairs

@@ -248,11 +248,12 @@ def _make_kernel_v4(chunk, win):
 
         for d in dmas(i, slot):
             d.wait()
-        # offs arrives replicated over the ngrp sublanes (built that way
-        # in XLA): Mosaic cannot broadcast a scratch-read (1, L) row
-        # across sublanes ("Invalid input layout"), so the replication
-        # happens before the kernel.
-        offs_b = obuf[slot][:, :win]                   # (ngrp, win)
+        # Broadcast the offsets row across the ngrp sublanes via an
+        # arith add: a plain vector.broadcast of this dynamically
+        # slot-indexed scratch read fails Mosaic layout inference at
+        # wide lane counts ("Invalid input layout").
+        offs_b = pltpu.repeat(obuf[slot][:1, :win], chunk // _GRP,
+                              axis=0)
         lo = los_ref[i]
         total = meta_ref[0]
         n_real = meta_ref[1]
@@ -354,7 +355,7 @@ def stream_expand(packed_t: jnp.ndarray, offs_pad: jnp.ndarray,
         ],
         scratch_shapes=[
             pltpu.VMEM((2, 16, win), jnp.float32),
-            pltpu.VMEM((2, chunk // _GRP, win), jnp.int32),
+            pltpu.VMEM((2, 1, win), jnp.int32),
             pltpu.VMEM((chunk // _GRP, 16, _GRP), jnp.int32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
@@ -376,9 +377,7 @@ def stream_expand(packed_t: jnp.ndarray, offs_pad: jnp.ndarray,
             bytes_accessed=nblocks * 16 * win * 4 + p_pad * 76,
             transcendentals=0),
         interpret=interpret,
-    )(los, meta,
-      jnp.broadcast_to(offs_pad[None, :],
-                       (chunk // _GRP, offs_pad.shape[0])), packed_t)
+    )(los, meta, offs_pad[None, :], packed_t)
     return (cols[:, :p], gid.reshape(p_pad)[:p],
             rank.reshape(p_pad)[:p])
 
