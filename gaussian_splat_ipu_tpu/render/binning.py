@@ -404,14 +404,17 @@ def _make_stream_table(interpret: bool, p: int):
                                                           chunk=chunk)
         packed_t = expand_mod.pad_packed_cols(packed, win=win)
         offs_pad = jnp.concatenate(
-            [offs, jnp.full((win + 256,), jnp.int32(0x7FFFFFFF))])
-        meta = jnp.stack([offs[n], jnp.int32(n)])
+            [offs, jnp.full((win + 256,), jnp.int32(0x7FFFFFFF))])[None]
+        nblocks = -(-p // chunk)
+        rows = jnp.zeros((nblocks,), jnp.int32)
+        pad_starts = jnp.broadcast_to(offs[n], (nblocks,))
+        meta = jnp.full((1,), n, jnp.int32)
 
         def kernel_branch(args):
             packed, packed_t, offs_pad = args
             cols, gid, rank = expand_mod.stream_expand(
-                packed_t, offs_pad, los, meta, p, chunk=chunk, win=win,
-                interpret=interpret)
+                packed_t, offs_pad, los, rows, pad_starts, meta, p,
+                chunk=chunk, win=win, interpret=interpret)
             return (tuple(cols[i] for i in range(16)), gid, rank)
 
         def scan_branch(args):

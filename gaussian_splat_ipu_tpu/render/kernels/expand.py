@@ -221,8 +221,9 @@ def _gather_win128(arr, idx, win):
 def _make_kernel_v4(chunk, win):
     ngrp = chunk // _GRP
 
-    def kernel(los_ref, meta_ref, offs_ref, packed_ref, out_ref, gid_ref,
-               rank_ref, wbuf, obuf, gbuf, sems):
+    def kernel(los_ref, rows_ref, pads_ref, meta_ref, offs_ref,
+               packed_ref, out_ref, gid_ref, rank_ref, wbuf, obuf, gbuf,
+               sems):
         i = pl.program_id(0)
         nblocks = pl.num_programs(0)
         slot = jax.lax.rem(i, 2)
@@ -233,7 +234,8 @@ def _make_kernel_v4(chunk, win):
                         packed_ref.at[:, pl.ds(lo, win)],
                         wbuf.at[buf_slot], sems.at[buf_slot]),
                     pltpu.make_async_copy(
-                        offs_ref.at[:, pl.ds(lo, win)],
+                        offs_ref.at[pl.ds(rows_ref[step], 1),
+                                    pl.ds(lo, win)],
                         obuf.at[buf_slot], sems.at[2 + buf_slot]))
 
         @pl.when(i == 0)
@@ -255,8 +257,8 @@ def _make_kernel_v4(chunk, win):
         offs_b = pltpu.repeat(obuf[slot][:1, :win], chunk // _GRP,
                               axis=0)
         lo = los_ref[i]
-        total = meta_ref[0]
-        n_real = meta_ref[1]
+        total = pads_ref[i]                # pad-slot start of this block
+        n_real = meta_ref[0]
         base = i * chunk
 
         # Whole-step binary search, all ngrp x _GRP slots at once:
@@ -312,24 +314,27 @@ def _make_kernel_v4(chunk, win):
 @functools.partial(jax.jit,
                    static_argnames=("p", "chunk", "win", "interpret"))
 def stream_expand(packed_t: jnp.ndarray, offs_pad: jnp.ndarray,
-                  los: jnp.ndarray, meta: jnp.ndarray, p: int,
+                  los: jnp.ndarray, rows: jnp.ndarray,
+                  pad_starts: jnp.ndarray, meta: jnp.ndarray, p: int,
                   chunk: int = CHUNK, win: int = WIN,
                   interpret: bool = False):
-    """Carry-free fused search + expansion.
+    """Carry-free fused search + expansion (optionally row-segmented).
 
     packed_t: (16, N_pad) feature-major table padded so any aligned
     win-window at or below column N stays in bounds.
-    offs_pad: (N + 1 + win + 2*_GRP,) i32 non-decreasing slot offsets —
-    offs_pad[g] = first pair slot of gaussian g, offs_pad[n] = total
-    (the pad segment's start), then 0x7FFFFFFF padding. Empty gaussians
-    repeat their successor's offset; the rightmost-match search then
-    never selects them (matching the scatter-max semantics of the XLA
-    path).
+    offs_pad: (R, N + 1 + win + 2*_GRP) i32 non-decreasing ABSOLUTE
+    slot offsets per segment row — offs_pad[r, g] = first pair slot of
+    gaussian g within segment r's slot range, offs_pad[r, n] = the
+    segment's pad start, then 0x7FFFFFFF padding. The flat path is
+    R = 1. Empty gaussians repeat their successor's offset; the
+    rightmost-match search then never selects them (matching the
+    scatter-max semantics of the XLA path).
     los: (ceil(p/chunk),) i32 128-aligned per-step window starts
-    (= floor128 of the first slot's owning gid), from
-    window_starts_from_offsets. Every step's live span must fit `win`
-    (caller-checked via the same function). meta: (2,) i32
-    [total live pairs, n] for the pad sentinel.
+    (= floor128 of the first slot's owning gid). rows: (nblocks,) i32
+    segment row per step (blocks must not straddle segments: segment
+    capacities are chunk-aligned). pad_starts: (nblocks,) i32 absolute
+    slot where the step's segment becomes padding. meta: (1,) i32 [n].
+    Every step's live span must fit `win` (caller-checked).
 
     Returns (cols (16, p), gid (p,), rank (p,)).
     """
@@ -337,20 +342,20 @@ def stream_expand(packed_t: jnp.ndarray, offs_pad: jnp.ndarray,
     nblocks = p_pad // chunk
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((16, chunk), lambda i, los, meta: (0, i),
+            pl.BlockSpec((16, chunk), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunk // _GRP, _GRP),
-                         lambda i, los, meta: (i, 0, 0),
+                         lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunk // _GRP, _GRP),
-                         lambda i, los, meta: (i, 0, 0),
+                         lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -377,7 +382,7 @@ def stream_expand(packed_t: jnp.ndarray, offs_pad: jnp.ndarray,
             bytes_accessed=nblocks * 16 * win * 4 + p_pad * 76,
             transcendentals=0),
         interpret=interpret,
-    )(los, meta, offs_pad[None, :], packed_t)
+    )(los, rows, pad_starts, meta, offs_pad, packed_t)
     return (cols[:, :p], gid.reshape(p_pad)[:p],
             rank.reshape(p_pad)[:p])
 
