@@ -518,18 +518,33 @@ def _bwd_kernel(starts_ref, ends_ref, off_ref, feat_ref, gout_ref, tn_ref,
         def _():
             gdma_write(slot, k + 2).wait()
 
-        # Only a tile's FIRST chunk (k == 0, processed last in the reverse
-        # walk) can be shared with the previous tile's range and needs a
-        # read-modify-write; interior chunks are exclusively owned and
-        # written fresh. Sequential grid + the previous tile's epilogue
-        # write-drain => the read sees the previous tile's completed write.
-        @pl.when(k == 0)
+        # Chunk ownership: a tile's FIRST chunk (k == 0, processed last
+        # in the reverse walk) can be shared with the previous range and
+        # always needs a read-modify-write. Interior chunks are
+        # exclusively owned — and may be written fresh — ONLY by the
+        # first grid-order member of the tile group that owns the range:
+        # with tile_group > 1 all g^2 member tiles replay the SAME
+        # range, so later members must RMW every chunk or they erase the
+        # earlier members' interior contributions (round-5 bug fix; the
+        # erasure needs group ranges longer than one chunk, which small
+        # grad-test scenes never produced). Sequential grid + the
+        # previous tile's epilogue write-drain => every read sees the
+        # previous tile's completed write.
+        if cfg.tile_group > 1:
+            gg = cfg.tile_group
+            first_member = jnp.logical_and((tid % ntx) % gg == 0,
+                                           (tid // ntx) % gg == 0)
+            fresh = jnp.logical_and(k != 0, first_member)
+        else:
+            fresh = k != 0
+
+        @pl.when(jnp.logical_not(fresh))
         def _():
             r = gdma_read(slot, k)
             r.start()
             r.wait()
 
-        @pl.when(k != 0)
+        @pl.when(fresh)
         def _():
             gbuf[slot] = jnp.zeros((B.TABLE_ROWS, c), jnp.float32)
 

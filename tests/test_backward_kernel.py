@@ -61,6 +61,29 @@ class TestBackwardKernel:
                                    atol=2e-4, rtol=1e-3)
 
     @pytest.mark.slow
+    def test_tile_group_multichunk_ranges_match_spec(self):
+        """Regression (round-5 bug): with tile_group > 1 every member
+        tile replays the SAME group range; when that range spans more
+        than one 128-pair chunk, the backward's fresh-interior-chunk
+        write used to erase the earlier members' contributions (only the
+        group's first grid-order member may skip the read-modify-write).
+        Needs >128 pairs per group to trigger — small scenes never did.
+        """
+        cfg = RasterConfig(image_width=64, image_height=64,
+                           pair_capacity=1 << 12, max_chunks_per_tile=16,
+                           tile_group=2)
+        b = _binned(seed=4, n=700, cfg=cfg)
+        counts = np.asarray(b.tile_ends) - np.asarray(b.tile_starts)
+        assert counts.max() > 128, "scene must produce multi-chunk ranges"
+        shape = (cfg.num_tiles, cfg.pixels_per_tile, 4)
+        cot = jax.random.normal(jax.random.PRNGKey(11), shape,
+                                jnp.float32)
+        g_ref = _grads(b, cfg, False, cot)
+        g_pal = _grads(b, cfg, True, cot)
+        np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                                   atol=5e-4, rtol=2e-3)
+
+    @pytest.mark.slow
     def test_matches_with_early_termination(self):
         """High opacities force the T<eps break: the contributor-count path
         (trigger excluded from gradients) must match the spec's masking."""
