@@ -176,6 +176,20 @@ def main():
         "fused_tight_relaxed": lambda: dataclasses.replace(
             base, pair_capacity=probed("base", base)[1],
             strict_termination=False),
+        # Round-5 segmented sort: place pairs into row-bucket segments
+        # (stream kernel) and run the 12-operand sort as a batched
+        # (R, cap) 2D sort — XLA's flat 1D radix is superlinear past
+        # 2^21 pairs. R must divide the group rows evenly or trailing
+        # buckets idle while live ones overflow.
+        "fused_tight_group2_tt_rowseg6": lambda: dataclasses.replace(
+            base_g2_tt, pair_capacity=probed("group2_tt", base_g2_tt)[1],
+            rowseg_buckets=6),
+        "fused_tight_group2_tt_rowseg12": lambda: dataclasses.replace(
+            base_g2_tt, pair_capacity=probed("group2_tt", base_g2_tt)[1],
+            rowseg_buckets=12),
+        "fused_tight_group2_tt_rowseg4": lambda: dataclasses.replace(
+            base_g2_tt, pair_capacity=probed("group2_tt", base_g2_tt)[1],
+            rowseg_buckets=4),
         # Expansion A/B: expand_kernel (Pallas stream-expand; the
         # default on TPU) vs the XLA row gather
         # (tests/test_binning.py::test_expand_kernel_matches_gather).

@@ -325,11 +325,19 @@ _sorted_feature_table.defvjp(_sorted_feature_table_fwd,
 FORCE_EXPAND_KERNEL = False
 
 
-def _decode_key_sort(all_cols, rank, gid_pre, n, depth_keep_bits, ntx_s):
+def _decode_key_sort(all_cols, rank, gid_pre, n, depth_keep_bits, ntx_s,
+                     seg=None):
     """Shared fused-path tail: decode per-pair tiles from the expanded
     geometry columns + rank, build the (tile << depth_keep_bits | qdepth)
     key, run the ONE stable radix pass carrying the 10 feature columns,
     zero pad columns, and append the zero block up to TABLE_ROWS.
+
+    seg=(R, cap): the pairs are already PLACED into R row-bucket
+    segments of cap slots (segmented stream path) — the sort then runs
+    as a batched (R, cap) 2D sort along the last axis. Buckets are whole
+    group rows in ascending order, so the concatenation of per-bucket
+    sorted runs is exactly the global key order (pads carry the max key
+    and sink to each bucket's tail).
 
     Returns (feats (TABLE_ROWS, P), tile_s, gid_s)."""
     is_pad = gid_pre >= n
@@ -354,7 +362,14 @@ def _decode_key_sort(all_cols, rank, gid_pre, n, depth_keep_bits, ntx_s):
         (tile << depth_keep_bits)
         | (depth_bits >> (jnp.int32(31) - depth_keep_bits)))
     cols = list(all_cols[:NUM_FEATURES])
-    out = jax.lax.sort(tuple([key, gid_pre] + cols), num_keys=1)
+    ops = [key, gid_pre] + cols
+    if seg is not None:
+        r_b, cap = seg
+        out = jax.lax.sort(tuple(o.reshape(r_b, cap) for o in ops),
+                           num_keys=1)
+        out = tuple(o.reshape(r_b * cap) for o in out)
+    else:
+        out = jax.lax.sort(tuple(ops), num_keys=1)
     tile_s = out[0] >> depth_keep_bits
     stacked = jnp.stack(out[2:], axis=0)
     # Pad pairs expanded through a clamping kernel carry junk; restore
@@ -459,6 +474,111 @@ def _make_stream_table(interpret: bool, p: int):
 
     stream_table.defvjp(stream_table_fwd, stream_table_bwd)
     return stream_table
+
+
+# Source-window rows for the SEGMENTED stream placement. Bucket slots
+# are owned by a sparse subset of the gaussian index space (only
+# footprints touching the bucket's rows), so a 2048-pair step spans more
+# gaussian indices than the flat walk; the doubled window keeps the
+# lax.cond flat fallback rare for R <= 8 buckets (measured spans ~4-7k
+# at 1M gaussians / 12 group rows).
+ROWSEG_WIN = 8192
+
+
+def _stream_sizes(interpret: bool, rowseg: bool = False):
+    """(chunk, win) for the stream kernels: full sizes compiled on TPU,
+    small ones under the Pallas interpreter (per-op dispatch cost)."""
+    from gaussian_splat_ipu_tpu.render.kernels import expand as expand_mod
+    if interpret:
+        return 256, (1024 if rowseg else 512)
+    return expand_mod.CHUNK, (ROWSEG_WIN if rowseg else expand_mod.WIN)
+
+
+def _bucket_counts(y0, nx, ny, flag01, mlo, mhi, gy_lo, rows_pb,
+                   r_buckets):
+    """(R, N) exact per-bucket pair counts from the footprint geometry.
+
+    Bucket r covers LOCAL group rows [r*rows_pb, (r+1)*rows_pb); rows
+    are local to this device's strip (gy_lo = first group row). Masked
+    footprints (exact_tile_test) count the per-row popcount of their
+    coverage mask; rectangles count nx per overlapped row. Column sums
+    reproduce ncov exactly, so per-bucket offsets + the in-kernel rank
+    match the flat expansion's row-major footprint walk."""
+    popcount = jax.lax.population_count
+    rel = y0 - gy_lo
+    rowpop = []
+    for dy in range(MASK_SPAN):
+        word = mlo if dy < 4 else mhi
+        rp = popcount((word >> ((dy % 4) * 8)) & 0xFF)
+        rowpop.append(jnp.where(dy < ny, rp, 0))
+    rows = []
+    for r in range(r_buckets):
+        br0, br1 = r * rows_pb, (r + 1) * rows_pb
+        ov = jnp.clip(jnp.minimum(rel + ny, br1) - jnp.maximum(rel, br0),
+                      0, rows_pb)
+        cm = jnp.zeros_like(nx)
+        for dy in range(MASK_SPAN):
+            cm = cm + jnp.where((rel + dy) // rows_pb == r,
+                                rowpop[dy], 0)
+        rows.append(jnp.where(flag01 == 1, cm, nx * ov))
+    return jnp.stack(rows, axis=0).astype(jnp.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_rowseg_table(interpret: bool, p: int, r_buckets: int,
+                       cap: int):
+    """Segmented stream placement + batched (R, cap) sort (factory; one
+    custom_vjp instance per geometry).
+
+    The stream kernel places every pair directly into its row-bucket
+    segment (offsets are per-bucket absolute slots); the 12-operand
+    radix sort then runs as a BATCHED 2D sort over the R segments —
+    XLA's 1D radix is strongly superlinear past 2^21 pairs (BASELINE.md
+    sort curve) while the batched path is not. Bucket order = group-row
+    order, so concatenated sorted buckets ARE the global key order and
+    the rendered image is bit-identical to the flat path.
+
+    custom_vjp: as _make_stream_table — ONE whole-row scatter-add of the
+    cotangent rows keyed by sorted gaussian id."""
+    from gaussian_splat_ipu_tpu.render.kernels import expand as expand_mod
+
+    chunk, win = _stream_sizes(interpret, rowseg=True)
+
+    @jax.custom_vjp
+    def rowseg_table(packed, offs_rows, offs2_rows, depth_keep_bits,
+                     ntx_s):
+        n = packed.shape[0] - 1
+        los, rows_arr, pads_arr, _ = \
+            expand_mod.window_starts_from_offsets_seg(offs_rows, cap, n,
+                                                      chunk=chunk)
+        packed_t = expand_mod.pad_packed_cols(packed, win=win)
+        meta = jnp.full((1,), n, jnp.int32)
+        cols, gid, rank = expand_mod.stream_expand(
+            packed_t, offs_rows, los, rows_arr, pads_arr, meta, p,
+            chunk=chunk, win=win, interpret=interpret,
+            offs2_pad=offs2_rows)
+        all_cols = tuple(cols[i] for i in range(16))
+        return _decode_key_sort(all_cols, rank, gid, n, depth_keep_bits,
+                                ntx_s, seg=(r_buckets, cap))
+
+    def rowseg_table_fwd(packed, offs_rows, offs2_rows, depth_keep_bits,
+                         ntx_s):
+        out = rowseg_table(packed, offs_rows, offs2_rows,
+                           depth_keep_bits, ntx_s)
+        return out, (out[2], packed.shape)
+
+    def rowseg_table_bwd(res, cotangents):
+        gid_s, pshape = res
+        rows = cotangents[0][:NUM_FEATURES].T      # (P, F)
+        dbody = jnp.zeros((pshape[0], NUM_FEATURES), rows.dtype)
+        dbody = dbody.at[gid_s].add(rows)
+        dpacked = jnp.concatenate(
+            [dbody, jnp.zeros((pshape[0], pshape[1] - NUM_FEATURES),
+                              rows.dtype)], axis=-1)
+        return dpacked, None, None, None, None
+
+    rowseg_table.defvjp(rowseg_table_fwd, rowseg_table_bwd)
+    return rowseg_table
 
 
 @functools.lru_cache(maxsize=None)
@@ -728,6 +848,30 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
                   and not use_presort and cfg.expand_kernel and n > 0
                   and (jax.default_backend() == "tpu"
                        or FORCE_EXPAND_KERNEL))
+    interp = jax.default_backend() != "tpu"
+    r_seg = cfg.rowseg_buckets
+    nrows_g = -(-num_rows // g)
+    use_rowseg = use_stream and r_seg > 1 and nrows_g >= r_seg
+    # Tile-group rows per row bucket / per-bucket chunk-aligned capacity.
+    # The internal table grows to R * cap >= pair_capacity so that every
+    # bucket is a whole number of expand-kernel chunks (blocks must not
+    # straddle buckets); both cond branches use the grown capacity.
+    if use_rowseg:
+        chunk_e, win_seg = _stream_sizes(interp, rowseg=True)
+        rows_pb = -(-nrows_g // r_seg)
+        cap_seg = -(-(-(-p // r_seg)) // chunk_e) * chunk_e
+        p = r_seg * cap_seg
+    # Per-tile global ids this call reports ranges for (hoisted: the
+    # segmented path needs them inside its cond branches).
+    if g > 1:
+        # Every member tile of a group points at the group's range
+        # (rows offset by this device's strip start).
+        rows_t = row_lo + jnp.arange(num_local, dtype=jnp.int32) // ntx
+        cols_t = jnp.arange(num_local, dtype=jnp.int32) % ntx
+        tids = (rows_t // g) * ntx_key + cols_t // g
+    else:
+        tids = row_lo * ntx + jnp.arange(num_local, dtype=jnp.int32)
+    starts = ends = num_pairs_v = overflow_v = None
     if not use_stream:
         first_slot = jnp.where(ncov_ext > 0, offsets_ext, p)  # no empties
         iota_n = jnp.arange(n + 1, dtype=jnp.int32)
@@ -799,9 +943,70 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
         packed = jnp.concatenate(
             [jnp.concatenate([body, intcols], axis=-1),
              jnp.zeros((1, NUM_FEATURES + 6), jnp.float32)])
-        if use_stream:
+        if use_stream and use_rowseg:
+            from gaussian_splat_ipu_tpu.render.kernels import (
+                expand as expand_mod, scan as scan_mod)
+
+            dkb = jnp.int32(31 - tile_bits)
+            ntx_s = jnp.int32(ntx_key)
+            gy_lo = row_lo // g
+            counts = _bucket_counts(y0, nx, ny, flag >> 30, mlo, mhi,
+                                    gy_lo, rows_pb, r_seg)
+            excl = scan_mod.row_cumsum_exclusive(counts,
+                                                 interpret=interp)
+            totals = excl[:, -1] + counts[:, -1]           # (R,)
+            bases = jnp.arange(r_seg, dtype=jnp.int32) * cap_seg
+            offs_abs = bases[:, None] + excl
+            live_end = bases + jnp.minimum(totals, cap_seg)
+            # Rank shift: a pair's decode rank addresses the WHOLE
+            # row-major footprint, so subtract the gaussian's pair
+            # count in earlier buckets from its in-bucket offset.
+            before = jnp.cumsum(counts, axis=0) - counts
+            offs2_abs = offs_abs - before
+            tail = jnp.full((r_seg, win_seg + 256),
+                            jnp.int32(0x7FFFFFFF))
+            offs_rows = jnp.concatenate(
+                [offs_abs, live_end[:, None], tail], axis=1)
+            offs2_rows = jnp.concatenate(
+                [offs2_abs, live_end[:, None], tail], axis=1)
+            _, _, _, span_s = expand_mod.window_starts_from_offsets_seg(
+                offs_rows, cap_seg, n, chunk=chunk_e)
+            live_total = jnp.sum(jnp.minimum(totals, cap_seg))
+            stream_fn = _make_stream_table(interp, p)
+            rowseg_fn = _make_rowseg_table(interp, p, r_seg, cap_seg)
+            gr_t = tids // ntx_key
+            b_t = jnp.clip((gr_t - gy_lo) // rows_pb, 0, r_seg - 1)
+
+            def br_seg(pk):
+                f, ts, gs = rowseg_fn(pk, offs_rows, offs2_rows, dkb,
+                                      ntx_s)
+                t2 = ts.reshape(r_seg, cap_seg)
+                posl = jax.vmap(lambda rw: jnp.searchsorted(
+                    rw, tids, side="left"))(t2).astype(jnp.int32)
+                posr = jax.vmap(lambda rw: jnp.searchsorted(
+                    rw, tids, side="right"))(t2).astype(jnp.int32)
+                st = b_t * cap_seg + jnp.take_along_axis(
+                    posl, b_t[None, :], axis=0)[0]
+                en = b_t * cap_seg + jnp.take_along_axis(
+                    posr, b_t[None, :], axis=0)[0]
+                return (f, ts, gs, st, en, live_total,
+                        total - live_total)
+
+            def br_flat(pk):
+                f, ts, gs = stream_fn(pk, offsets_ext, dkb, ntx_s)
+                st = jnp.searchsorted(ts, tids,
+                                      side="left").astype(jnp.int32)
+                en = jnp.searchsorted(ts, tids,
+                                      side="right").astype(jnp.int32)
+                return (f, ts, gs, st, en, jnp.minimum(total, p),
+                        jnp.maximum(total - p, 0))
+
+            (feats, tile_s, gid_s, starts, ends, num_pairs_v,
+             overflow_v) = jax.lax.cond(span_s <= win_seg, br_seg,
+                                        br_flat, packed)
+        elif use_stream:
             feats, tile_s, gid_s = _make_stream_table(
-                jax.default_backend() != "tpu", p)(
+                interp, p)(
                 packed, offsets_ext, jnp.int32(31 - tile_bits),
                 jnp.int32(ntx_key))
         else:
@@ -821,23 +1026,18 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
         feats, tile_s, gid_s = _sorted_feature_table(packed, tile, gid_pre)
     pad_s = tile_s >= num_keys_total
 
-    if g > 1:
-        # Every member tile of a group points at the group's range
-        # (rows offset by this device's strip start).
-        rows = row_lo + jnp.arange(num_local, dtype=jnp.int32) // ntx
-        cols = jnp.arange(num_local, dtype=jnp.int32) % ntx
-        tids = (rows // g) * ntx_key + cols // g
-    else:
-        tids = row_lo * ntx + jnp.arange(num_local, dtype=jnp.int32)
-    starts = jnp.searchsorted(tile_s, tids, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(tile_s, tids, side="right").astype(jnp.int32)
-
-    overflow = jnp.maximum(total - p, 0)
+    if starts is None:
+        starts = jnp.searchsorted(tile_s, tids,
+                                  side="left").astype(jnp.int32)
+        ends = jnp.searchsorted(tile_s, tids,
+                                side="right").astype(jnp.int32)
+        num_pairs_v = jnp.minimum(total, p)
+        overflow_v = jnp.maximum(total - p, 0)
     return BinnedSplats(
         features=feats,
         pair_gid=jnp.where(pad_s, n, gid_s).astype(jnp.int32),
         tile_starts=starts,
         tile_ends=ends,
-        num_pairs=jnp.minimum(total, p),
-        overflow=overflow,
+        num_pairs=num_pairs_v,
+        overflow=overflow_v,
     )

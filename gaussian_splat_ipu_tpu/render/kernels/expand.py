@@ -218,25 +218,38 @@ def _gather_win128(arr, idx, win):
     return acc
 
 
-def _make_kernel_v4(chunk, win):
+def _make_kernel_v4(chunk, win, two_offs=False):
     ngrp = chunk // _GRP
 
     def kernel(los_ref, rows_ref, pads_ref, meta_ref, offs_ref,
-               packed_ref, out_ref, gid_ref, rank_ref, wbuf, obuf, gbuf,
-               sems):
+               *rest):
+        if two_offs:
+            (offs2_ref, packed_ref, out_ref, gid_ref, rank_ref, wbuf,
+             obuf, o2buf, gbuf, sems) = rest
+        else:
+            (packed_ref, out_ref, gid_ref, rank_ref, wbuf, obuf,
+             gbuf, sems) = rest
         i = pl.program_id(0)
         nblocks = pl.num_programs(0)
         slot = jax.lax.rem(i, 2)
 
         def dmas(step, buf_slot):
             lo = pl.multiple_of(los_ref[step], _GRP)
-            return (pltpu.make_async_copy(
-                        packed_ref.at[:, pl.ds(lo, win)],
-                        wbuf.at[buf_slot], sems.at[buf_slot]),
-                    pltpu.make_async_copy(
-                        offs_ref.at[pl.ds(rows_ref[step], 1),
-                                    pl.ds(lo, win)],
-                        obuf.at[buf_slot], sems.at[2 + buf_slot]))
+            # Offsets are (R, 1, W): the bucket dim is UNTILED (scalar
+            # indexed), the (1, W) tail is the tiled payload — Mosaic
+            # rejects size-1 sublane slices of a sublane-tiled (R, W).
+            row = rows_ref[step]
+            ds = [pltpu.make_async_copy(
+                      packed_ref.at[:, pl.ds(lo, win)],
+                      wbuf.at[buf_slot], sems.at[buf_slot]),
+                  pltpu.make_async_copy(
+                      offs_ref.at[row, :, pl.ds(lo, win)],
+                      obuf.at[buf_slot], sems.at[2 + buf_slot])]
+            if two_offs:
+                ds.append(pltpu.make_async_copy(
+                    offs2_ref.at[row, :, pl.ds(lo, win)],
+                    o2buf.at[buf_slot], sems.at[4 + buf_slot]))
+            return ds
 
         @pl.when(i == 0)
         def _():
@@ -279,7 +292,16 @@ def _make_kernel_v4(chunk, win):
         hi0 = jnp.full((ngrp, _GRP), win, jnp.int32)
         steps = max(1, (win - 1).bit_length())
         gid_l, _ = jax.lax.fori_loop(0, steps, search_step, (lo0, hi0))
-        start = _gather_win128(offs_b, gid_l, win)     # offs[gid]
+        if two_offs:
+            # Segmented rank: offs2[r, g] = offs[r, g] - (g's pair count
+            # in buckets before r), so s - offs2[gid] is the rank within
+            # the gaussian's WHOLE footprint (row-major decode space),
+            # not just within this bucket.
+            offs2_b = pltpu.repeat(o2buf[slot][:1, :win],
+                                   chunk // _GRP, axis=0)
+            start = _gather_win128(offs2_b, gid_l, win)
+        else:
+            start = _gather_win128(offs_b, gid_l, win)  # offs[gid]
         is_pad = s >= total
         gid_ref[0] = jnp.where(is_pad, n_real, gid_l + lo)
         rank_ref[0] = jnp.where(is_pad, s - total, s - start)
@@ -317,7 +339,8 @@ def stream_expand(packed_t: jnp.ndarray, offs_pad: jnp.ndarray,
                   los: jnp.ndarray, rows: jnp.ndarray,
                   pad_starts: jnp.ndarray, meta: jnp.ndarray, p: int,
                   chunk: int = CHUNK, win: int = WIN,
-                  interpret: bool = False):
+                  interpret: bool = False,
+                  offs2_pad: jnp.ndarray | None = None):
     """Carry-free fused search + expansion (optionally row-segmented).
 
     packed_t: (16, N_pad) feature-major table padded so any aligned
@@ -336,18 +359,21 @@ def stream_expand(packed_t: jnp.ndarray, offs_pad: jnp.ndarray,
     slot where the step's segment becomes padding. meta: (1,) i32 [n].
     Every step's live span must fit `win` (caller-checked).
 
+    offs2_pad, when given, is a second (R, N_pad) array gathered at the
+    found gid to produce the rank instead of offs_pad (the segmented
+    path passes offs - cells_in_earlier_buckets so ranks address the
+    full row-major footprint).
+
     Returns (cols (16, p), gid (p,), rank (p,)).
     """
     p_pad = -(-p // chunk) * chunk
     nblocks = p_pad // chunk
+    two_offs = offs2_pad is not None
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (2 + two_offs),
         out_specs=[
             pl.BlockSpec((16, chunk), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
@@ -361,12 +387,18 @@ def stream_expand(packed_t: jnp.ndarray, offs_pad: jnp.ndarray,
         scratch_shapes=[
             pltpu.VMEM((2, 16, win), jnp.float32),
             pltpu.VMEM((2, 1, win), jnp.int32),
+        ] + ([pltpu.VMEM((2, 1, win), jnp.int32)] if two_offs else [])
+        + [
             pltpu.VMEM((chunk // _GRP, 16, _GRP), jnp.int32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((6 if two_offs else 4,)),
         ],
     )
+    operands = [los, rows, pad_starts, meta, offs_pad[:, None, :]]
+    if two_offs:
+        operands.append(offs2_pad[:, None, :])
+    operands.append(packed_t)
     cols, gid, rank = pl.pallas_call(
-        _make_kernel_v4(chunk, win),
+        _make_kernel_v4(chunk, win, two_offs=two_offs),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((16, p_pad), jnp.float32),
@@ -382,9 +414,46 @@ def stream_expand(packed_t: jnp.ndarray, offs_pad: jnp.ndarray,
             bytes_accessed=nblocks * 16 * win * 4 + p_pad * 76,
             transcendentals=0),
         interpret=interpret,
-    )(los, rows, pad_starts, meta, offs_pad, packed_t)
+    )(*operands)
     return (cols[:, :p], gid.reshape(p_pad)[:p],
             rank.reshape(p_pad)[:p])
+
+
+def window_starts_from_offsets_seg(offs_rows: jnp.ndarray, cap: int,
+                                   n: int, chunk: int = CHUNK):
+    """Segmented analogue of window_starts_from_offsets.
+
+    offs_rows: (R, >= n + 1) non-decreasing ABSOLUTE slot offsets per
+    bucket row — offs_rows[r, g] = first slot of gaussian g's pairs in
+    bucket r (= r*cap + local exclusive count), offs_rows[r, n] = the
+    bucket's live end (r*cap + min(demand_r, cap)), then monotone
+    padding. cap must be chunk-aligned so no block straddles buckets.
+
+    Returns (los (R*bps,), rows (R*bps,), pad_starts (R*bps,),
+    span ()) with bps = cap // chunk, all in block-grid order
+    (bucket-major).
+    """
+    r_buckets = offs_rows.shape[0]
+    assert cap % chunk == 0
+    bps = cap // chunk
+    base = jnp.arange(r_buckets, dtype=jnp.int32)[:, None] * cap
+    grid = base + jnp.arange(bps + 1, dtype=jnp.int32)[None, :] * chunk
+    srch = jax.vmap(lambda o, g: jnp.searchsorted(o, g, side="right"))
+    g_at = srch(offs_rows, grid).astype(jnp.int32) - 1
+    first = g_at[:, :-1]
+    pad_start = offs_rows[:, n]
+    last_slot = jnp.minimum(grid[:, 1:] - 1,
+                            jnp.maximum(pad_start - 1, 0)[:, None])
+    last = srch(offs_rows, last_slot).astype(jnp.int32) - 1
+    last = jnp.minimum(last, n - 1)
+    los = (first // _GRP) * _GRP
+    span = jnp.max(jnp.maximum(last, first) - los + 1)
+    rows = jnp.broadcast_to(
+        jnp.arange(r_buckets, dtype=jnp.int32)[:, None],
+        (r_buckets, bps)).reshape(-1)
+    pads = jnp.broadcast_to(pad_start[:, None],
+                            (r_buckets, bps)).reshape(-1)
+    return los.reshape(-1), rows, pads, span
 
 
 def window_starts_from_offsets(offs: jnp.ndarray, p: int, n: int,

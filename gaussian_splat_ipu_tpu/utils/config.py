@@ -139,6 +139,26 @@ class RasterConfig:
     # the distributed row-strip path when each device's strip covers
     # whole group rows (rows-per-device % tile_group == 0).
     tile_group: int = 1
+    # Row-bucket SEGMENTED binning (round 5): partition the pair table
+    # into this many tile-row buckets (slot space = R chunk-aligned
+    # segments), place pairs directly into their bucket with the
+    # segmented stream kernel (per-bucket offsets from a closed-form
+    # (R, N) count matrix + the Pallas row scan — no extra pass over P),
+    # and run the 12-operand radix sort as a BATCHED (R, cap) 2D sort.
+    # XLA's 1D radix at 2M+ pairs is strongly superlinear (BASELINE.md
+    # sort curve); the batched sort over R segments cuts it several-fold
+    # while the concatenation of per-bucket sorted runs (buckets are
+    # whole group rows, ascending) is exactly the global (tile, depth)
+    # order: every tile's table slice is BIT-identical to the flat
+    # path's (tests/test_rowseg.py), and images agree to compositing-
+    # reassociation ulp (ranges land at different offsets mod the
+    # rasterizer chunk, re-bracketing the transmittance scan). Per-bucket
+    # capacity = pair_capacity / R (rounded up to the expand-kernel
+    # chunk); per-bucket overflow is counted into the same counter.
+    # Requires the fused-key stream path (TPU); 1 = off (flat sort).
+    # Skewed scenes need capacity covering the LARGEST bucket's demand
+    # (the capacity probes measure per-bucket maxima when this is on).
+    rowseg_buckets: int = 1
     # Exact reference break semantics in the INFERENCE (non-differentiated)
     # Pallas forward: a pixel freezes its transmittance at the first
     # contributor whose post-blend T would drop below transmittance_eps,
