@@ -65,6 +65,12 @@ def parse_args(argv=None):
                         "sort reduction; 1 = off; composes with "
                         "--exact-tiles: the coverage mask then tests "
                         "KxK-tile cells)")
+    p.add_argument("--rowseg", type=int, default=1,
+                   help="segmented binning: place pairs into N tile-row "
+                        "bucket segments and run the pair sort as a "
+                        "batched 2D sort (round 5; 1 = off). Needs the "
+                        "bucket count to divide the (group) rows evenly "
+                        "and capacity covering the largest bucket")
     p.add_argument("--antialias", action="store_true",
                    help="energy-conserving lowpass (Mip-Splatting): "
                         "sub-pixel splats fade instead of brightening")
@@ -213,6 +219,7 @@ def main(argv=None) -> int:
                        exact_tile_test=args.exact_tiles,
                        antialias=args.antialias,
                        tile_group=args.tile_group,
+                       rowseg_buckets=args.rowseg,
                        strict_termination=args.strict_termination)
     runtime_cfg = RuntimeConfig(
         compile_cache_dir=args.compile_cache,

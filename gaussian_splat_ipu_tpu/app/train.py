@@ -105,6 +105,9 @@ def parse_args(argv=None):
                         "sort reduction; composes with --exact-tiles; "
                         "with --distributed, rows-per-device must be a "
                         "multiple of K)")
+    p.add_argument("--rowseg", type=int, default=1,
+                   help="segmented binning: N tile-row bucket segments "
+                        "+ batched 2D pair sort (round 5; 1 = off)")
     p.add_argument("--antialias", action="store_true",
                    help="energy-conserving lowpass (Mip-Splatting)")
     p.add_argument("--checkpoint", default="",
@@ -246,6 +249,7 @@ def main(argv=None) -> int:
                            exact_tile_test=args.exact_tiles,
                            antialias=args.antialias,
                            tile_group=args.tile_group,
+                           rowseg_buckets=args.rowseg,
                            background=(bg, bg, bg))
         origins = np.stack([np.asarray(c.cam_origin) for c in cameras])
         center = origins.mean(0)
@@ -285,6 +289,7 @@ def main(argv=None) -> int:
                            exact_tile_test=args.exact_tiles,
                            antialias=args.antialias,
                            tile_group=args.tile_group,
+                           rowseg_buckets=args.rowseg,
                            background=(bg, bg, bg))
         fov = float(np.radians(40.0))
         aspect = args.width / args.height

@@ -485,13 +485,19 @@ def _make_stream_table(interpret: bool, p: int):
 ROWSEG_WIN = 8192
 
 
-def _stream_sizes(interpret: bool, rowseg: bool = False):
+def _stream_sizes(interpret: bool, rowseg: bool = False,
+                  r_buckets: int = 0):
     """(chunk, win) for the stream kernels: full sizes compiled on TPU,
-    small ones under the Pallas interpreter (per-op dispatch cost)."""
+    small ones under the Pallas interpreter (per-op dispatch cost).
+    Finer row buckets have sparser contributing-gaussian index bands,
+    so the source window doubles past 8 buckets."""
     from gaussian_splat_ipu_tpu.render.kernels import expand as expand_mod
     if interpret:
         return 256, (1024 if rowseg else 512)
-    return expand_mod.CHUNK, (ROWSEG_WIN if rowseg else expand_mod.WIN)
+    if rowseg:
+        return expand_mod.CHUNK, (ROWSEG_WIN if r_buckets <= 8
+                                  else 2 * ROWSEG_WIN)
+    return expand_mod.CHUNK, expand_mod.WIN
 
 
 def _bucket_counts(y0, nx, ny, flag01, mlo, mhi, gy_lo, rows_pb,
@@ -542,7 +548,8 @@ def _make_rowseg_table(interpret: bool, p: int, r_buckets: int,
     cotangent rows keyed by sorted gaussian id."""
     from gaussian_splat_ipu_tpu.render.kernels import expand as expand_mod
 
-    chunk, win = _stream_sizes(interpret, rowseg=True)
+    chunk, win = _stream_sizes(interpret, rowseg=True,
+                               r_buckets=r_buckets)
 
     @jax.custom_vjp
     def rowseg_table(packed, offs_rows, offs2_rows, depth_keep_bits,
@@ -857,7 +864,8 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
     # bucket is a whole number of expand-kernel chunks (blocks must not
     # straddle buckets); both cond branches use the grown capacity.
     if use_rowseg:
-        chunk_e, win_seg = _stream_sizes(interp, rowseg=True)
+        chunk_e, win_seg = _stream_sizes(interp, rowseg=True,
+                                         r_buckets=r_seg)
         rows_pb = -(-nrows_g // r_seg)
         cap_seg = -(-(-(-p // r_seg)) // chunk_e) * chunk_e
         p = r_seg * cap_seg
