@@ -132,6 +132,44 @@ def main():
             print(f"pair demand[{key}] {d} -> tight {cap}", flush=True)
         return probes[key]
 
+    def _rowseg_balanced(cfg0, cap_target=1 << 18, slack=1.08):
+        from gaussian_splat_ipu_tpu.render import binning
+        from gaussian_splat_ipu_tpu.render.projection import (
+            project_gaussians)
+
+        def rd_of(angle):
+            sp = project_gaussians(model, cam_of_k(angle), cfg0)
+            return binning.bucket_demands(sp, cfg0)
+
+        jrd = jax.jit(rd_of)
+        rd = np.max(np.stack([np.asarray(jrd(jnp.float32(a)))
+                              for a in (0.0, 4.0, 8.0, 12.0)]), axis=0)
+        total = int(rd.sum())
+        # Bucket demand window: max bounded by the batched sort's pow2
+        # pad (cap_target), min by the placement span (span ~ C*N/D,
+        # see binning.balance_bounds).
+        min_sum = int(2048 * n / 16384 * 1.25)
+        r_seg = max(2, -(-int(total * slack) // cap_target))
+        bounds = worst = None
+        for r_try in range(r_seg, min(len(rd), 17)):
+            b = binning.balance_bounds(rd, r_try, min_sum=min_sum)
+            w = max(int(rd[b[i]:b[i + 1]].sum()) for i in range(r_try))
+            lo = min(int(rd[b[i]:b[i + 1]].sum()) for i in range(r_try))
+            if int(w * slack) <= cap_target:
+                r_seg, bounds, worst = r_try, b, w
+                print(f"rowseg balanced: R={r_seg} bounds={b} "
+                      f"bucket range [{lo}, {w}]", flush=True)
+                break
+        if bounds is None:
+            print("rowseg balanced: no feasible partition; flat cfg",
+                  flush=True)
+            return dataclasses.replace(
+                cfg0, pair_capacity=probed("group2_tt", cfg0)[1])
+        cap = max(-(-int(worst * slack) // 2048) * 2048, 2048)
+        return dataclasses.replace(cfg0, rowseg_buckets=r_seg,
+                                   rowseg_bounds=bounds,
+                                   pair_capacity=r_seg * cap)
+
     variants = {
         "fused_full": lambda: base,
         "fused_tight": lambda: dataclasses.replace(
@@ -181,6 +219,12 @@ def main():
         # (R, cap) 2D sort — XLA's flat 1D radix is superlinear past
         # 2^21 pairs. R must divide the group rows evenly or trailing
         # buckets idle while live ones overflow.
+        # Demand-balanced boundaries (the design that survives row
+        # skew): probe per-group-row demand, balance buckets to
+        # ~total/R, size per-bucket capacity just under the 2^18 pow2
+        # cliff of the batched sort.
+        "fused_tight_group2_tt_rowsegbal": lambda: _rowseg_balanced(
+            base_g2_tt),
         "fused_tight_group2_tt_rowseg6": lambda: dataclasses.replace(
             base_g2_tt, pair_capacity=probed("group2_tt", base_g2_tt)[1],
             rowseg_buckets=6),

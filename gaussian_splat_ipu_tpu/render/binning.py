@@ -500,12 +500,11 @@ def _stream_sizes(interpret: bool, rowseg: bool = False,
     return expand_mod.CHUNK, expand_mod.WIN
 
 
-def _bucket_counts(y0, nx, ny, flag01, mlo, mhi, gy_lo, rows_pb,
-                   r_buckets):
+def _bucket_counts(y0, nx, ny, flag01, mlo, mhi, gy_lo, bounds):
     """(R, N) exact per-bucket pair counts from the footprint geometry.
 
-    Bucket r covers LOCAL group rows [r*rows_pb, (r+1)*rows_pb); rows
-    are local to this device's strip (gy_lo = first group row). Masked
+    Bucket r covers LOCAL group rows [bounds[r], bounds[r+1]); rows are
+    local to this device's strip (gy_lo = first group row). Masked
     footprints (exact_tile_test) count the per-row popcount of their
     coverage mask; rectangles count nx per overlapped row. Column sums
     reproduce ncov exactly, so per-bucket offsets + the in-kernel rank
@@ -518,16 +517,100 @@ def _bucket_counts(y0, nx, ny, flag01, mlo, mhi, gy_lo, rows_pb,
         rp = popcount((word >> ((dy % 4) * 8)) & 0xFF)
         rowpop.append(jnp.where(dy < ny, rp, 0))
     rows = []
-    for r in range(r_buckets):
-        br0, br1 = r * rows_pb, (r + 1) * rows_pb
+    for r in range(len(bounds) - 1):
+        br0, br1 = bounds[r], bounds[r + 1]
         ov = jnp.clip(jnp.minimum(rel + ny, br1) - jnp.maximum(rel, br0),
-                      0, rows_pb)
+                      0, br1 - br0)
         cm = jnp.zeros_like(nx)
         for dy in range(MASK_SPAN):
-            cm = cm + jnp.where((rel + dy) // rows_pb == r,
+            row = rel + dy
+            cm = cm + jnp.where((row >= br0) & (row < br1),
                                 rowpop[dy], 0)
         rows.append(jnp.where(flag01 == 1, cm, nx * ov))
     return jnp.stack(rows, axis=0).astype(jnp.int32)
+
+
+def balance_bounds(row_demands, r_buckets: int, min_sum: int = 0):
+    """Optimal demand-balanced contiguous partition of group rows.
+
+    row_demands: per-group-row pair demand (pass the WORST over the
+    camera set for orbit workloads). Returns an (R+1,) tuple of bucket
+    start rows for RasterConfig.rowseg_bounds, minimizing the MAXIMUM
+    bucket demand (DP linear partition; a single dense row lower-bounds
+    it) subject to every bucket's demand >= min_sum where feasible.
+
+    Both bucket-demand extremes matter on skewed scenes: the max sets
+    the equal per-bucket capacity (and the batched sort's pow2 pad),
+    while the MIN sets the stream-placement source-window span — a
+    chunk of C pair slots in a bucket with demand D spans ~C*N/D
+    gaussian indices (contributor sparsity cancels: pairs per index =
+    D/N), so sparse edge rows must merge into neighbours rather than
+    sit in their own bucket. min_sum ~ C*N/win*slack enforces that."""
+    d = [int(x) for x in row_demands]
+    nrows = len(d)
+    if r_buckets >= nrows:
+        return tuple(range(nrows + 1))
+    pre = [0]
+    for x in d:
+        pre.append(pre[-1] + x)
+
+    def seg(j, i):
+        return pre[i] - pre[j]
+
+    big = float("inf")
+
+    def solve(floor):
+        # f[r][i]: min possible max-bucket-demand partitioning rows
+        # [0, i) into r buckets, each with sum >= floor.
+        f = [[big] * (nrows + 1) for _ in range(r_buckets + 1)]
+        arg = [[0] * (nrows + 1) for _ in range(r_buckets + 1)]
+        f[0][0] = 0
+        for r in range(1, r_buckets + 1):
+            for i in range(1, nrows + 1):
+                for j in range(i):
+                    if f[r - 1][j] == big:
+                        continue
+                    s = seg(j, i)
+                    if s < floor:
+                        continue
+                    v = max(f[r - 1][j], s)
+                    if v < f[r][i]:
+                        f[r][i] = v
+                        arg[r][i] = j
+        if f[r_buckets][nrows] == big:
+            return None
+        bounds = [nrows]
+        for r in range(r_buckets, 0, -1):
+            bounds.append(arg[r][bounds[-1]])
+        return tuple(reversed(bounds))
+
+    return solve(min_sum) or solve(0) or tuple(
+        [0] + list(range(nrows - r_buckets + 1, nrows + 1)))
+
+
+def bucket_demands(splats: ProjectedSplats, cfg: RasterConfig):
+    """Per-group-row pair demand for this frame (nrows_g,) — the probe
+    input for balance_bounds (full grid, single strip)."""
+    g = cfg.tile_group
+    x0, y0, nx, ny = tile_ranges_of(splats, cfg)
+    if g > 1:
+        x1 = x0 + jnp.maximum(nx - 1, 0)
+        y1 = y0 + jnp.maximum(ny - 1, 0)
+        gx0, gy0 = x0 // g, y0 // g
+        nx = jnp.where(nx > 0, x1 // g - gx0 + 1, 0)
+        ny = jnp.where(ny > 0, y1 // g - gy0 + 1, 0)
+        x0, y0 = gx0, gy0
+    if cfg.exact_tile_test:
+        testable, mlo, mhi, ncov_x = _coverage_masks_dispatch(
+            splats, cfg, x0, y0, nx, ny, cell_w=g * cfg.tile_width,
+            cell_h=g * cfg.tile_height)
+        flag01 = testable.astype(jnp.int32)
+    else:
+        mlo = mhi = flag01 = jnp.zeros_like(nx)
+    nrows_g = -(-cfg.tiles_y // g)
+    counts = _bucket_counts(y0, nx, ny, flag01, mlo, mhi, jnp.int32(0),
+                            tuple(range(nrows_g + 1)))
+    return counts.sum(axis=1)
 
 
 @functools.lru_cache(maxsize=None)
@@ -866,7 +949,19 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
     if use_rowseg:
         chunk_e, win_seg = _stream_sizes(interp, rowseg=True,
                                          r_buckets=r_seg)
-        rows_pb = -(-nrows_g // r_seg)
+        if cfg.rowseg_bounds:
+            seg_bounds = tuple(int(b) for b in cfg.rowseg_bounds)
+            assert (len(seg_bounds) == r_seg + 1
+                    and seg_bounds[0] == 0
+                    and seg_bounds[-1] >= nrows_g
+                    and all(b1 > b0 for b0, b1 in
+                            zip(seg_bounds, seg_bounds[1:]))), \
+                "rowseg_bounds must be (R+1,) ascending local group rows"
+        else:
+            # Equal row split; trailing buckets may sit past the grid
+            # (they bin nothing and sort pure pads).
+            rows_pb = -(-nrows_g // r_seg)
+            seg_bounds = tuple(r * rows_pb for r in range(r_seg + 1))
         cap_seg = -(-(-(-p // r_seg)) // chunk_e) * chunk_e
         p = r_seg * cap_seg
     # Per-tile global ids this call reports ranges for (hoisted: the
@@ -959,7 +1054,7 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
             ntx_s = jnp.int32(ntx_key)
             gy_lo = row_lo // g
             counts = _bucket_counts(y0, nx, ny, flag >> 30, mlo, mhi,
-                                    gy_lo, rows_pb, r_seg)
+                                    gy_lo, seg_bounds)
             excl = scan_mod.row_cumsum_exclusive(counts,
                                                  interpret=interp)
             totals = excl[:, -1] + counts[:, -1]           # (R,)
@@ -983,7 +1078,11 @@ def bin_splats(splats: ProjectedSplats, cfg: RasterConfig,
             stream_fn = _make_stream_table(interp, p)
             rowseg_fn = _make_rowseg_table(interp, p, r_seg, cap_seg)
             gr_t = tids // ntx_key
-            b_t = jnp.clip((gr_t - gy_lo) // rows_pb, 0, r_seg - 1)
+            rel_t = gr_t - gy_lo
+            b_t = jnp.zeros_like(rel_t)
+            for _b in seg_bounds[1:-1]:
+                b_t = b_t + (rel_t >= _b).astype(jnp.int32)
+            b_t = jnp.clip(b_t, 0, r_seg - 1)
 
             def br_seg(pk):
                 f, ts, gs = rowseg_fn(pk, offs_rows, offs2_rows, dkb,

@@ -159,6 +159,15 @@ class RasterConfig:
     # Skewed scenes need capacity covering the LARGEST bucket's demand
     # (the capacity probes measure per-bucket maxima when this is on).
     rowseg_buckets: int = 1
+    # Static bucket boundaries for rowseg_buckets, as (R+1,) ascending
+    # LOCAL group-row indices (bounds[0] = 0, bounds[-1] >= the strip's
+    # group rows). Real scenes concentrate pairs in central tile rows
+    # (measured [156k..478k] per-bucket demand at R=6 equal rows on the
+    # uniform 1M scene), which breaks both the equal per-bucket capacity
+    # and the stream-placement window span; DEMAND-BALANCED boundaries
+    # (probe per-row demand once, then binning.balance_bounds) keep
+    # every bucket near total/R. Empty = equal row split.
+    rowseg_bounds: tuple = ()
     # Exact reference break semantics in the INFERENCE (non-differentiated)
     # Pallas forward: a pixel freezes its transmittance at the first
     # contributor whose post-blend T would drop below transmittance_eps,

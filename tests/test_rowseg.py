@@ -66,6 +66,41 @@ def test_rowseg_tables_match_flat(g, tt, r):
         assert np.array_equal(f1, f2)
 
 
+def test_rowseg_balanced_bounds_match_flat():
+    """Demand-balanced boundaries (the production path on skewed
+    scenes): probe per-row demand, balance, bin — per-tile slices must
+    still be exactly the flat path's."""
+    m, cam = _scene()
+    cfg = RasterConfig(image_width=640, image_height=360,
+                       pair_capacity=16384, tile_group=2,
+                       exact_tile_test=True)
+    sp = jax.jit(lambda mm: project_gaussians(mm, cam, cfg))(m)
+    b1 = jax.jit(lambda s: binning.bin_splats(s, cfg))(sp)
+    rd = np.asarray(jax.jit(
+        lambda s: binning.bucket_demands(s, cfg))(sp))
+    assert int(rd.sum()) == int(b1.num_pairs)
+    bounds = binning.balance_bounds(rd, 4)
+    assert bounds[0] == 0 and bounds[-1] == len(rd)
+    cfg2 = dataclasses.replace(cfg, rowseg_buckets=4,
+                               rowseg_bounds=bounds)
+    b2 = jax.jit(lambda s: binning.bin_splats(s, cfg2))(sp)
+    assert int(b2.overflow) == 0
+    for (f1, g1), (f2, g2) in zip(_tile_slices(b1), _tile_slices(b2)):
+        assert np.array_equal(g1, g2)
+        assert np.array_equal(f1, f2)
+
+
+def test_balance_bounds_properties():
+    d = [10, 200, 250, 240, 30, 5, 5, 260, 0, 0, 0, 0]
+    for r in (2, 3, 4, 6):
+        b = binning.balance_bounds(d, r)
+        assert len(b) == r + 1 and b[0] == 0 and b[-1] == len(d)
+        assert all(y > x for x, y in zip(b, b[1:]))
+    b = binning.balance_bounds(d, 4)
+    buckets = [sum(d[b[i]:b[i + 1]]) for i in range(4)]
+    assert max(buckets) <= sum(d) / 4 * 2.0   # roughly balanced
+
+
 def test_rowseg_image_and_grads_close():
     from gaussian_splat_ipu_tpu.render.pipeline import render
 
@@ -157,8 +192,14 @@ def test_bucket_counts_sum_to_ncov():
     nrows_g = -(-cfg.tiles_y // g)
     for r_seg in (3, 4):
         rows_pb = -(-nrows_g // r_seg)
+        bounds = tuple(r * rows_pb for r in range(r_seg + 1))
         counts = binning._bucket_counts(
-            gy0, nxg, nyg, flag01, mlo, mhi, jnp.int32(0), rows_pb,
-            r_seg)
+            gy0, nxg, nyg, flag01, mlo, mhi, jnp.int32(0), bounds)
         np.testing.assert_array_equal(
             np.asarray(counts.sum(axis=0)), np.asarray(ncov))
+    # uneven demand-balanced boundaries cover the rows exactly too
+    bounds = (0, 1, 4, nrows_g)
+    counts = binning._bucket_counts(
+        gy0, nxg, nyg, flag01, mlo, mhi, jnp.int32(0), bounds)
+    np.testing.assert_array_equal(
+        np.asarray(counts.sum(axis=0)), np.asarray(ncov))
