@@ -215,8 +215,12 @@ def main():
     n1m = 1 << 20
     model_1m = GaussianModel.random(jax.random.PRNGKey(0), n1m, extent=1.0)
     bb1 = np.array([1.0, 1.0, 1.0], np.float32)
+    # Round-5 campaign winner: tile_group=3 (the stream front-end made
+    # the frame sort-bound, moving the group sweet spot up from g=2 —
+    # 40.88 vs 45.29 vs 48.37 ms for g=3/2/4 at tight capacity,
+    # BASELINE.md round-5).
     cfg_1m = RasterConfig(image_width=WIDTH, image_height=HEIGHT,
-                          pair_capacity=1 << 22, tile_group=2,
+                          pair_capacity=1 << 22, tile_group=3,
                           exact_tile_test=True)
 
     def demand_1m(m, a):
@@ -347,7 +351,7 @@ def main():
         "frame_ms_1m_clustered": round(ms_1mc, 2),
         "pair_capacity_1m_clustered": cap_1mc,
         "train_step_ms_1m_720p": round(train_1m_ms, 2),
-        "config_1m": "tile_group=2,exact_tile_test=1,strict",
+        "config_1m": "tile_group=3,exact_tile_test=1,strict",
         "median_of": 5,
         "strict_termination": True,
     }))

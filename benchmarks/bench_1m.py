@@ -201,6 +201,14 @@ def main():
         # both pair-cutting levers stacked (VERDICT r3 #8).
         "fused_tight_group2_tt": lambda: dataclasses.replace(
             base_g2_tt, pair_capacity=probed("group2_tt", base_g2_tt)[1]),
+        # g=3: with the round-5 stream front-end the frame is
+        # sort-bound, so the g sweet spot may have moved up (fewer
+        # pairs through the radix vs more per-tile compositing reads).
+        "fused_tight_group3_tt": lambda: dataclasses.replace(
+            base, tile_group=3, exact_tile_test=True,
+            pair_capacity=probed(
+                "group3_tt", dataclasses.replace(
+                    base, tile_group=3, exact_tile_test=True))[1]),
         "fused_tight_group4_tt": lambda: dataclasses.replace(
             base_g4_tt, pair_capacity=probed("group4_tt", base_g4_tt)[1]),
         # Relaxed-termination inference kernel on top of grouping
